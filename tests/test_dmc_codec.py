@@ -1,0 +1,122 @@
+"""P-frame (DMC) model + codec tests: per-frame forward, GOP chaining,
+and the full .bin round trip with decoder==encoder-recon equality.
+
+Uses reference-default channel widths but small frames (64x64) on CPU.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcm_ts_tpu.codec.engine import VideoCodec
+from vcm_ts_tpu.models.dmc import DMC, make_dpb
+
+
+@pytest.fixture(scope="module")
+def dmc():
+    model = DMC(anchor_num=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    dpb = make_dpb(x)
+    params = model.init(jax.random.PRNGKey(0), x, dpb, 1.0, 1.0,
+                        method="init_all")
+    codec = VideoCodec(model, params)
+    return model, params, codec
+
+
+def _frames(seed=0, n=3):
+    rng = np.random.default_rng(seed)
+    base = rng.random((1, 8, 8, 3)).astype(np.float32)
+    frames = []
+    for t in range(n):
+        shifted = np.roll(base, t, axis=2) + 0.01 * rng.random((1, 8, 8, 3))
+        frames.append(np.kron(shifted, np.ones((1, 8, 8, 1)))[:, :64, :64, :]
+                      .astype(np.float32))
+    return frames
+
+
+def test_forward_one_frame_outputs(dmc):
+    model, params, codec = dmc
+    frames = _frames()
+    dpb = make_dpb(jnp.asarray(frames[0]))
+    out = codec.forward(jnp.asarray(frames[1]), dpb, 1.0, 1.0, is_first_p=True)
+    for k in ("bpp", "bpp_y", "bpp_z", "bpp_mv_y", "bpp_mv_z", "mse", "me_mse"):
+        assert out[k].shape == (1,), k
+        assert np.isfinite(float(out[k][0])), k
+    assert out["dpb"]["ref_frame"].shape == frames[1].shape
+    assert out["dpb"]["ref_feature"].shape == (1, 64, 64, 64)
+    assert out["dpb"]["ref_y"].shape == (1, 4, 4, 96)
+    assert out["dpb"]["ref_mv_y"].shape == (1, 4, 4, 64)
+
+
+def test_forward_chained_p_frames(dmc):
+    """dpb threads through successive P-frames (is_first_p False after #1)."""
+    model, params, codec = dmc
+    frames = _frames(seed=1, n=4)
+    dpb = make_dpb(jnp.asarray(frames[0]))
+    out1 = codec.forward(jnp.asarray(frames[1]), dpb, 1.0, 1.0, is_first_p=True)
+    out2 = codec.forward(jnp.asarray(frames[2]), out1["dpb"], 1.0, 1.0,
+                         is_first_p=False)
+    out3 = codec.forward(jnp.asarray(frames[3]), out2["dpb"], 1.0, 1.0,
+                         is_first_p=False)
+    assert np.isfinite(float(out3["bpp"][0]))
+
+
+def test_training_mode_with_noise(dmc):
+    model, params, codec = dmc
+    frames = _frames(seed=2)
+    dpb = make_dpb(jnp.asarray(frames[0]))
+    out = model.apply(params, jnp.asarray(frames[1]), dpb, 1.0, 1.0,
+                      is_first_p=True, training=True,
+                      noise_rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["bpp"][0]))
+
+
+def test_encode_decode_round_trip(tmp_path, dmc):
+    model, params, codec = dmc
+    codec.update()
+    frames = _frames(seed=3)
+    dpb = make_dpb(jnp.asarray(frames[0]))
+
+    path = os.path.join(tmp_path, "p.bin")
+    out = codec.encode_decode(jnp.asarray(frames[1]), dpb, path,
+                              pic_width=64, pic_height=64,
+                              mv_y_q_scale=1.0, y_q_scale=1.0,
+                              is_first_p=True)
+    assert out["bit"] > 0
+
+    # the decoded DPB must exactly match the encoder-side reconstruction
+    enc_side = codec.compress(jnp.asarray(frames[1]), dpb, 1.0, 1.0,
+                              is_first_p=True)
+    np.testing.assert_allclose(
+        np.asarray(out["dpb"]["ref_frame"]),
+        np.clip(np.asarray(enc_side["dpb"]["ref_frame"]), 0, 1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["dpb"]["ref_y"]),
+        np.asarray(enc_side["dpb"]["ref_y"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["dpb"]["ref_mv_y"]),
+        np.asarray(enc_side["dpb"]["ref_mv_y"]), atol=1e-5)
+
+    # second P-frame chained off the decoded dpb
+    path2 = os.path.join(tmp_path, "p2.bin")
+    out2 = codec.encode_decode(jnp.asarray(frames[2]), out["dpb"], path2,
+                               pic_width=64, pic_height=64,
+                               mv_y_q_scale=1.0, y_q_scale=1.0,
+                               is_first_p=False)
+    assert out2["bit"] > 0
+
+
+def test_rate_anchor_batch(dmc):
+    """Batch dimension = rate anchors: per-sample q_scale rows
+    (reference core/data/__init__.py:75, dcvc_hem.py:145)."""
+    model, params, codec = dmc
+    frames = _frames(seed=4)
+    x = jnp.concatenate([jnp.asarray(frames[1])] * 4, axis=0)
+    dpb = make_dpb(jnp.concatenate([jnp.asarray(frames[0])] * 4, axis=0))
+    mv_q = params["params"]["mv_y_q_scale"]
+    y_q = params["params"]["y_q_scale"]
+    out = codec.forward(x, dpb, mv_q, y_q, is_first_p=True)
+    assert out["bpp"].shape == (4,)

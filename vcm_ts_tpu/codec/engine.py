@@ -23,6 +23,179 @@ from ..entropy.gaussian import GaussianCoder
 from . import bitstream as bs
 
 
+class VideoCodec:
+    """Host/device orchestration for DMC P-frames (video_model.py:263-468).
+
+    Stream order per frame: mv_z, mv_y step0, mv_y step1, z, y step0, y step1
+    — six interleaved planes in one rANS stream. Decode ping-pongs between
+    four jitted device stages and the sequential host coder; z is decoded
+    together with mv_y step1 since its indexes are static (channel ids).
+    """
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self.gaussian = GaussianCoder("laplace")
+        self.coder = EntropyCoder()
+        self.y_table = None
+        self.z_table = None
+        self.z_mv_table = None
+
+        gauss = self.gaussian
+
+        def compress_fn(p, x, dpb, mv_q, y_q, is_first_p):
+            out = model.apply(p, x, dpb, mv_q, y_q, is_first_p,
+                              method="compress_device")
+            for k in ("mv_scales_w_0", "mv_scales_w_1",
+                      "scales_w_0", "scales_w_1"):
+                out[k.replace("scales", "idx")] = gauss.build_indexes(out.pop(k))
+            return out
+
+        def stage1_fn(p, mv_z_hat, dpb):
+            s, carry = model.apply(p, mv_z_hat, dpb,
+                                   method="decompress_stage1")
+            return gauss.build_indexes(s), carry
+
+        def stage2_fn(p, mv_y_q_r_0, carry):
+            s, carry2 = model.apply(p, mv_y_q_r_0, carry,
+                                    method="decompress_stage2")
+            return gauss.build_indexes(s), carry2
+
+        def stage3_fn(p, mv_y_q_r_1, carry, z_hat, dpb, mv_q, is_first_p):
+            s, carry2, contexts = model.apply(
+                p, mv_y_q_r_1, carry, z_hat, dpb, mv_q, is_first_p,
+                method="decompress_stage3")
+            return gauss.build_indexes(s), carry2, contexts
+
+        def stage5_fn(p, y_q_r_0, carry):
+            s, carry2 = model.apply(p, y_q_r_0, carry,
+                                    method="decompress_stage5")
+            return gauss.build_indexes(s), carry2
+
+        def stage6_fn(p, y_q_r_1, carry, contexts, y_q):
+            return model.apply(p, y_q_r_1, carry, contexts, y_q,
+                               method="decompress_stage6")
+
+        self._compress = jax.jit(compress_fn, static_argnums=(5,))
+        self._stage1 = jax.jit(stage1_fn)
+        self._stage2 = jax.jit(stage2_fn)
+        self._stage3 = jax.jit(stage3_fn, static_argnums=(6,))
+        self._stage5 = jax.jit(stage5_fn)
+        self._stage6 = jax.jit(stage6_fn)
+        self._forward = jax.jit(
+            lambda p, x, dpb, mv_q, y_q, is_first_p: model.apply(
+                p, x, dpb, mv_q, y_q, is_first_p),
+            static_argnums=(5,))
+
+    def update(self, force: bool = False):
+        if self.z_table is not None and not force:
+            return
+        self.y_table = self.gaussian.build_table()
+        z_model = be.BitEstimator(self.model.channel_N)
+        self.z_table = be.build_table(
+            z_model, {"params": self.params["params"]["bit_estimator_z"]})
+        self.z_mv_table = be.build_table(
+            z_model, {"params": self.params["params"]["bit_estimator_z_mv"]})
+
+    # ---------------------------------------------------------------- forward
+    def forward(self, x, dpb, mv_y_q_scale, y_q_scale, is_first_p=False):
+        return self._forward(self.params, jnp.asarray(x), dpb,
+                             mv_y_q_scale, y_q_scale, is_first_p)
+
+    # --------------------------------------------------------------- compress
+    def compress(self, x, dpb, mv_y_q_scale, y_q_scale, is_first_p=False):
+        assert self.z_table is not None, "call update() first"
+        out = self._compress(self.params, jnp.asarray(x), dpb,
+                             mv_y_q_scale, y_q_scale, is_first_p)
+        mv_z = np.asarray(out["mv_z_hat"])
+        z = np.asarray(out["z_hat"])
+
+        self.coder.reset_encoder()
+        self.coder.encode_with_indexes(
+            mv_z, be.build_indexes(mv_z.shape), self.z_mv_table)
+        self.coder.encode_with_indexes(
+            np.asarray(out["mv_y_q_w_0"]), np.asarray(out["mv_idx_w_0"]),
+            self.y_table)
+        self.coder.encode_with_indexes(
+            np.asarray(out["mv_y_q_w_1"]), np.asarray(out["mv_idx_w_1"]),
+            self.y_table)
+        self.coder.encode_with_indexes(
+            z, be.build_indexes(z.shape), self.z_table)
+        self.coder.encode_with_indexes(
+            np.asarray(out["y_q_w_0"]), np.asarray(out["idx_w_0"]), self.y_table)
+        self.coder.encode_with_indexes(
+            np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]), self.y_table)
+        return {"bit_stream": self.coder.flush_encoder(), "dpb": out["dpb"]}
+
+    # ------------------------------------------------------------- decompress
+    def decompress(self, dpb, stream: bytes, height: int, width: int,
+                   mv_y_q_scale, y_q_scale, is_first_p=False):
+        assert self.z_table is not None, "call update() first"
+        zh, zw = bs.get_downsampled_shape(height, width, 64)
+        z_shape = (1, zh, zw, self.model.channel_N)
+        z_idx = be.build_indexes(z_shape)
+
+        self.coder.set_stream(stream)
+        mv_z_hat = self.coder.decode_stream(z_idx, self.z_mv_table)
+
+        idx0, carry = self._stage1(
+            self.params, jnp.asarray(mv_z_hat, jnp.float32), dpb)
+        mv_y_q_r_0 = self.coder.decode_stream(np.asarray(idx0), self.y_table)
+
+        idx1, carry = self._stage2(
+            self.params, jnp.asarray(mv_y_q_r_0, jnp.float32), carry)
+        mv_y_q_r_1 = self.coder.decode_stream(np.asarray(idx1), self.y_table)
+        z_hat = self.coder.decode_stream(z_idx, self.z_table)
+
+        idx_y0, carry, contexts = self._stage3(
+            self.params, jnp.asarray(mv_y_q_r_1, jnp.float32), carry,
+            jnp.asarray(z_hat, jnp.float32), dpb, mv_y_q_scale, is_first_p)
+        y_q_r_0 = self.coder.decode_stream(np.asarray(idx_y0), self.y_table)
+
+        idx_y1, carry = self._stage5(
+            self.params, jnp.asarray(y_q_r_0, jnp.float32), carry)
+        y_q_r_1 = self.coder.decode_stream(np.asarray(idx_y1), self.y_table)
+
+        return self._stage6(self.params, jnp.asarray(y_q_r_1, jnp.float32),
+                            carry, contexts, y_q_scale)
+
+    # ----------------------------------------------------------- encode+decode
+    def encode_decode(self, x, dpb, output_path=None, pic_width=None,
+                      pic_height=None, mv_y_q_scale=None, y_q_scale=None,
+                      is_first_p=False):
+        """Self-checking write-then-read round trip (video_model.py:424-468)."""
+        if output_path is None:
+            out = self.forward(x, dpb, mv_y_q_scale, y_q_scale, is_first_p)
+            return {
+                "dpb": out["dpb"],
+                "bit_y": float(out["bit_y"]),
+                "bit_z": float(out["bit_z"]),
+                "bit_mv_y": float(out["bit_mv_y"]),
+                "bit_mv_z": float(out["bit_mv_z"]),
+                "bit": float(out["bit"]),
+                "decoding_time": 0.0,
+            }
+        mv_y_q_scale, mv_y_q_index = bs.get_rounded_q(mv_y_q_scale)
+        y_q_scale, y_q_index = bs.get_rounded_q(y_q_scale)
+        t0 = time.time()
+        encoded = self.compress(x, dpb, mv_y_q_scale, y_q_scale, is_first_p)
+        bs.encode_p(encoded["bit_stream"], mv_y_q_index, y_q_index, output_path)
+        bit = bs.filesize(output_path) * 8
+        t1 = time.time()
+        mv_y_q_index, y_q_index, stream = bs.decode_p(output_path)
+        decoded = self.decompress(dpb, stream, pic_height, pic_width,
+                                  mv_y_q_index / 100, y_q_index / 100,
+                                  is_first_p)
+        decoded["dpb"]["ref_frame"].block_until_ready()
+        t2 = time.time()
+        return {
+            "dpb": decoded["dpb"],
+            "bit": bit,
+            "encoding_time": t1 - t0,
+            "decoding_time": t2 - t1,
+        }
+
+
 class IntraCodec:
     """Host/device orchestration for IntraNoAR (image_model.py:114-200)."""
 
