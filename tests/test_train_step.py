@@ -1,0 +1,151 @@
+"""Training framework tests: stage curriculum decoding, optimizer freezing
+masks, and loss decrease under both training strategies on a tiny DMC.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcm_ts_tpu.models.dmc import DMC, make_dpb
+from vcm_ts_tpu.train import train_step as ts
+from vcm_ts_tpu.train.config import default_training_cfg
+from vcm_ts_tpu.train.optimizer import (make_stage_optimizer, trainable_mask)
+from vcm_ts_tpu.train.stages import StageParams, calc_max_epoch, get_stage_params
+
+
+def tiny_model_and_params():
+    model = DMC(anchor_num=2, channel_mv=16, channel_N=16, channel_M=24)
+    x = jnp.zeros((2, 64, 64, 3))
+    dpb = make_dpb(x, 16, 24)
+    params = model.init(jax.random.PRNGKey(0), x, dpb, 1.0, 1.0,
+                        method="init_all")
+    return model, params
+
+
+def _sequences(n=2, t=3, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((n, 1, 8, 8, 3)).astype(np.float32)
+    frames = [np.kron(np.roll(base, k, axis=3),
+                      np.ones((1, 1, 8, 8, 1)))[:, :, :64, :64, :]
+              for k in range(t)]
+    return np.concatenate(frames, axis=1)  # (N, T, H, W, C)
+
+
+# ------------------------------------------------------------------ stages
+def test_stage_schedule_decoding():
+    cfg = default_training_cfg()
+    assert calc_max_epoch(cfg.SOLVER.STAGES) == 30
+    s0 = get_stage_params(cfg, 0)
+    assert s0.stage == 0 and s0.trainable_mode == "inter_dist"
+    assert s0.loss_dist_key == "me_mse" and s0.loss_rate_keys == ()
+    s1 = get_stage_params(cfg, 1)
+    assert s1.stage == 1 and s1.loss_rate_keys == ("bpp_mv_y", "bpp_mv_z")
+    s_last = get_stage_params(cfg, 29)
+    assert s_last.forward_method == "cascade" and s_last.p_frames == 4
+    assert s_last.lr == 1e-5
+    with pytest.raises(ValueError):
+        get_stage_params(cfg, 30)
+
+
+# ---------------------------------------------------------------- freezing
+def test_trainable_masks():
+    _, params = tiny_model_and_params()
+    m = trainable_mask(params, "inter_dist")
+    assert m["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"] is True
+    assert m["params"]["mv_y_q_basic"] is False
+    assert m["params"]["contextual_encoder"]["conv1"]["kernel"] is False
+
+    m = trainable_mask(params, "inter_dist_rate")
+    assert m["params"]["mv_y_q_basic"] is True
+    assert m["params"]["y_q_basic"] is False
+
+    m = trainable_mask(params, "recon_dist")
+    assert m["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"] is False
+    assert m["params"]["contextual_encoder"]["conv1"]["kernel"] is True
+    assert m["params"]["y_q_basic"] is False
+    assert m["params"]["bit_estimator_z"]["f1"]["h"] is True
+
+    m = trainable_mask(params, "recon_dist_rate")
+    assert m["params"]["y_q_basic"] is True
+    assert m["params"]["mv_y_q_scale"] is False
+
+    m = trainable_mask(params, "all")
+    assert all(jax.tree_util.tree_leaves(m))
+
+
+def _stage(**kw):
+    base = dict(stage=0, p_frames=1, trainable_mode="all",
+                forward_method="single", loss_dist_key="mse",
+                loss_rate_keys=("bpp_mv_y", "bpp_mv_z", "bpp_y", "bpp_z"),
+                lr=1e-4, perceptual_loss=False)
+    base.update(kw)
+    return StageParams(**base)
+
+
+# ----------------------------------------------------------------- training
+def test_single_strategy_loss_decreases_and_freezing_holds():
+    model, params = tiny_model_and_params()
+    stage = _stage(trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    tx, opt_state = make_stage_optimizer(params, stage.trainable_mode, 1e-4)
+    step = ts.make_single_frame_step(model, tx, stage, lambdas=[85., 170.],
+                                     dist_lambda=1.0, pl_lambda=0.0)
+    seqs = _sequences()
+    frozen_before = np.asarray(
+        params["params"]["contextual_encoder"]["conv1"]["kernel"])
+    trained_before = np.asarray(
+        params["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+
+    losses = []
+    p, s = params, opt_state
+    rng = jax.random.PRNGKey(1)
+    for it in range(4):
+        rng, sub = jax.random.split(rng)
+        p, s, aux_list = ts.run_single_sequence(
+            model, step, p, s, seqs, seqs, stage, sub)
+        losses.append(float(np.mean([np.mean(a.loss) for a in aux_list])))
+
+    assert losses[-1] < losses[0], losses
+    np.testing.assert_array_equal(
+        np.asarray(p["params"]["contextual_encoder"]["conv1"]["kernel"]),
+        frozen_before)
+    assert not np.allclose(
+        np.asarray(p["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"]),
+        trained_before)
+
+
+def test_cascade_strategy_runs_and_improves():
+    # me_mse objective: the recon path's from-scratch magnitudes make the
+    # full RD loss astronomically large at init (the reference fine-tunes
+    # pretrained weights), so the smoke test trains the motion path.
+    model, params = tiny_model_and_params()
+    # damp kernels so activations contract (growth sqrt(2)*0.5 < 1/layer):
+    # with raw Xavier(sqrt(2)) init the frame-1 recon fed into frame 2's
+    # flow estimator overflows f32 (the reference fine-tunes pretrained
+    # weights and never runs cascade from scratch).
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 0.5 if path[-1].key == "kernel" else x, params)
+    stage = _stage(forward_method="cascade", p_frames=2,
+                   trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    tx, opt_state = make_stage_optimizer(params, stage.trainable_mode, 1e-4)
+    step = ts.make_cascade_step(model, tx, stage, lambdas=[85., 170.],
+                                dist_lambda=1.0, pl_lambda=0.0)
+    seqs = _sequences(t=4, seed=1)
+    p, s = params, opt_state
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    frozen_before = np.asarray(
+        params["params"]["contextual_decoder"]["up1"]["0"]["kernel"])
+    for it in range(3):
+        rng, sub = jax.random.split(rng)
+        p, s, aux_list = ts.run_cascade_sequence(
+            model, step, p, s, seqs, seqs, stage, sub)
+        losses.append(float(np.mean([np.mean(a.loss) for a in aux_list])))
+    assert losses[-1] < losses[0] * 1.05, losses
+    # BPTT gives recon-path params nonzero grads; freezing must still hold
+    # exactly (regression test for the optax.masked pass-through pitfall).
+    np.testing.assert_array_equal(
+        np.asarray(p["params"]["contextual_decoder"]["up1"]["0"]["kernel"]),
+        frozen_before)

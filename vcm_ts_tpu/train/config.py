@@ -1,0 +1,110 @@
+"""Default configuration trees.
+
+Same schema and defaults as the reference's two yacs trees:
+- training `cfg` (core/config/training_settings.py:1-78)
+- codec `codec_settings` (core/config/codec_settings.py:1-69)
+with a few TPU-specific additions under SOLVER/DEVICE kept separate.
+"""
+
+from __future__ import annotations
+
+from ..utils.config import CfgNode
+
+
+def default_training_cfg() -> CfgNode:
+    cfg = CfgNode()
+
+    cfg.MODEL = CfgNode()
+    cfg.MODEL.ARCHITECTURE = "DCVC_HEM"
+    cfg.MODEL.DEVICE = "tpu"
+    cfg.MODEL.PRETRAINED_WEIGHTS = ""
+    cfg.MODEL.I_FRAME_PRETRAINED_WEIGHTS = ""
+
+    cfg.INPUT = CfgNode()
+    cfg.INPUT.MAKE_DIVISIBLE_BY = 8
+    cfg.INPUT.IMAGE_SIZE = [256, 256]
+
+    cfg.DATASET = CfgNode()
+    cfg.DATASET.TYPE = ""
+    cfg.DATASET.TRAIN_ROOT_DIRS = []
+    cfg.DATASET.TRAIN_SUBDIR_LISTS = []
+    cfg.DATASET.TEST_ROOT_DIRS = []
+    cfg.DATASET.TEST_SUBDIR_LISTS = []
+    cfg.DATASET.TEST_OD_ROOT_DIRS = []
+    cfg.DATASET.SEQUENCE_LENGTH = 16
+    cfg.DATASET.SEQUENCE_STRIDE = 1
+    cfg.DATASET.SUBDIR_INPUTS = "raw"
+    cfg.DATASET.METADATA_PATH = ""
+    cfg.DATASET.OD_GOP_SIZE = 32
+    cfg.DATASET.OD_STAGE = 5
+
+    cfg.DATA_LOADER = CfgNode()
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+    cfg.DATA_LOADER.PIN_MEMORY = True
+
+    cfg.SOLVER = CfgNode()
+    cfg.SOLVER.LAMBDAS = [85, 170, 380, 840]
+    cfg.SOLVER.PL_MODEL = "resnet"
+    cfg.SOLVER.PL_LAYERS = ["1", "2", "3", "4"]
+    cfg.SOLVER.PL_LAMBDA = 1e1
+    cfg.SOLVER.DIST_LAMBDA = 1.0
+    cfg.SOLVER.LR = 1e-4
+    # 8-field stage tuples:
+    # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
+    #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]
+    cfg.SOLVER.STAGES = [
+        ["1", "me", "single", "me", "none", "0.0001", "1", "false"],
+        ["1", "me", "single", "me", "me", "0.0001", "3", "false"],
+        ["1", "rec", "single", "rec", "none", "0.0001", "3", "false"],
+        ["1", "rec", "single", "rec", "rec", "0.0001", "3", "false"],
+        ["1", "all", "single", "rec", "all", "0.0001", "6", "false"],
+        ["2", "all", "single", "rec", "all", "0.0001", "5", "false"],
+        ["4", "all", "single", "rec", "all", "0.0001", "3", "false"],
+        ["4", "all", "single", "rec", "all", "0.00001", "1", "false"],
+        ["4", "all", "cascade", "rec", "all", "0.00005", "2", "false"],
+        ["4", "all", "cascade", "rec", "all", "0.00001", "3", "false"],
+    ]
+
+    cfg.OUTPUT_DIR = "outputs/test"
+
+    cfg.TENSORBOARD = CfgNode()
+    cfg.TENSORBOARD.BEST_SAMPLES_NUM = 16
+    cfg.TENSORBOARD.WORST_SAMPLES_NUM = 16
+
+    return cfg
+
+
+def default_codec_settings() -> CfgNode:
+    cfg = CfgNode()
+
+    cfg.BASE_LAYER = CfgNode()
+    cfg.BASE_LAYER.DCVC_HEM = CfgNode()
+    cfg.BASE_LAYER.DCVC_HEM.I_FRAME_WEIGHTS = "pretrained/acmmm2022_image_psnr.pth"
+    cfg.BASE_LAYER.DCVC_HEM.P_FRAME_WEIGHTS = "pretrained/acmmm2022_video_psnr.pth"
+    cfg.BASE_LAYER.DCVC_HEM.ANCHOR_NUM = 4
+    cfg.BASE_LAYER.DCVC_HEM.GOP = 32
+    cfg.BASE_LAYER.DCVC_HEM.RATE_COUNT = 6
+    cfg.BASE_LAYER.DCVC_HEM.QUALITY = 1
+    cfg.BASE_LAYER.DCVC_HEM.WRITE_STREAM = True
+    cfg.BASE_LAYER.DCVC_HEM.DEVICE = "tpu"
+
+    cfg.ENHANCEMENT_LAYER = CfgNode()
+    cfg.ENHANCEMENT_LAYER.DETECTORS = CfgNode()
+    for det in ("FACES", "LIPLATES"):
+        node = CfgNode()
+        node.DEVICE = "tpu"
+        node.ENABLE = True
+        node.PADDING = 10
+        node.PROB = 0.9
+        cfg.ENHANCEMENT_LAYER.DETECTORS[det] = node
+    cfg.ENHANCEMENT_LAYER.H265 = CfgNode()
+    cfg.ENHANCEMENT_LAYER.H265.CRF = 25
+    cfg.ENHANCEMENT_LAYER.H265.PIX_FMT = "gbrp"
+    cfg.ENHANCEMENT_LAYER.H265.PRESET = "veryfast"
+
+    cfg.COMPARE = CfgNode()
+    cfg.COMPARE.H265 = CfgNode()
+    cfg.COMPARE.H265.PIX_FMT = "gbrp"
+    cfg.COMPARE.H265.PRESET = "veryfast"
+
+    return cfg
