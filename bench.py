@@ -1,0 +1,101 @@
+"""Benchmark: 1080p P-frame encode+decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Protocol mirrors the reference's eval harness semantics
+(DCVC_HEM/test_video.py:80-182): per-frame DMC encode+decode compute with
+entropy-estimated bits (the default no-write mode the reference benchmarks
+with), 1080p frames padded to 1088x1920 (stream_helper.get_padding_size
+p=64), DPB threaded frame to frame. Baseline: the driver-set north star of
+60 fps/chip (BASELINE.md).
+
+Flags: --frames N, --warmup N, --dtype f32|bf16, --write-stream (adds the
+host rANS path), --size HxW.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--write-stream", action="store_true")
+    ap.add_argument("--size", default="1088x1920")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+
+    h, w = (int(v) for v in args.size.split("x"))
+
+    model = DMC(anchor_num=4)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
+                        method="init_all")
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.dtype == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if v.dtype == jnp.float32 else v, params)
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.random((1, h, w, 3)), dtype)
+              for _ in range(4)]
+    dpb = make_dpb(frames[0])
+
+    if args.write_stream:
+        from vcm_ts_tpu.codec.engine import VideoCodec
+        codec = VideoCodec(model, params)
+        codec.update()
+
+        def run_frame(i, dpb, first):
+            out = codec.compress(frames[i % 4], dpb, 0.7, 0.7, first)
+            stream = out["bit_stream"]
+            dec = codec.decompress(dpb, stream, h, w, 0.7, 0.7, first)
+            return dec["dpb"]
+    else:
+        fwd = jax.jit(
+            lambda p, x, dpb, first: model.apply(p, x, dpb, 0.7, 0.7, first),
+            static_argnums=(3,))
+
+        def run_frame(i, dpb, first):
+            out = fwd(params, frames[i % 4], dpb, first)
+            return out["dpb"]
+
+    # warmup / compile both is_first_p variants
+    for i in range(max(2, args.warmup)):
+        dpb_w = run_frame(i, dpb, i == 0)
+        jax.block_until_ready(dpb_w)
+
+    t0 = time.perf_counter()
+    cur = dpb
+    for i in range(args.frames):
+        cur = run_frame(i, cur, i == 0)
+    jax.block_until_ready(cur)
+    t1 = time.perf_counter()
+
+    fps = args.frames / (t1 - t0)
+    result = {
+        "metric": f"1080p P-frame enc+dec fps/chip "
+                  f"({args.dtype}{', real bitstream' if args.write_stream else ', entropy-estimated'})",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

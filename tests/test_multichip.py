@@ -1,0 +1,68 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Covers (e) of SURVEY.md section 4's implied contract: k-device data-parallel
+training is semantically equivalent to a 1-device run over the same global
+batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from vcm_ts_tpu.models.dmc import DMC, make_dpb
+from vcm_ts_tpu.parallel import mesh as pm
+from vcm_ts_tpu.train.optimizer import make_stage_optimizer
+from vcm_ts_tpu.train.stages import StageParams
+from vcm_ts_tpu.train.train_step import make_single_frame_step
+
+
+def test_graft_entry_compiles():
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (1, 256, 256, 3)
+
+
+def test_dryrun_multichip_8():
+    ge.dryrun_multichip(8)
+
+
+def test_dp_equivalence_1_vs_8_devices():
+    """Same global batch: 8-device sharded step == single-device step."""
+    model = DMC(anchor_num=4, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((8, 64, 64, 3))
+    dpb0 = make_dpb(x0, 16, 24)
+    params = model.init(jax.random.PRNGKey(0), x0[:1],
+                        make_dpb(x0[:1], 16, 24), 1.0, 1.0, method="init_all")
+    stage = StageParams(stage=0, p_frames=1, trainable_mode="all",
+                        forward_method="single", loss_dist_key="me_mse",
+                        loss_rate_keys=(), lr=1e-4, perceptual_loss=False)
+    lambdas = [85.0, 170.0, 380.0, 840.0, 85.0, 170.0, 380.0, 840.0]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
+    ref = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
+
+    def run(mesh):
+        tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
+        step = make_single_frame_step(model, tx, stage, lambdas=lambdas,
+                                      dist_lambda=1.0, pl_lambda=0.0)
+        if mesh is None:
+            p, o, xx, rr = params, opt_state, x, ref
+        else:
+            p = pm.replicate(params, mesh)
+            o = pm.replicate(opt_state, mesh)
+            xx = pm.shard_batch(x, mesh)
+            rr = pm.shard_batch(ref, mesh)
+        dpb = make_dpb(rr, 16, 24)
+        new_p, _, aux, _ = step(p, o, xx, xx, dpb, jax.random.PRNGKey(1), True)
+        return np.asarray(aux.loss), new_p
+
+    loss_1, p_1 = run(None)
+    loss_8, p_8 = run(pm.make_mesh(8))
+
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5, atol=1e-6)
+    # updated params agree across the sharded/unsharded runs
+    k1 = np.asarray(p_1["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+    k8 = np.asarray(p_8["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,150 @@
+"""Weight-import tests: torch modules written inline (mirroring reference
+layer semantics) -> state_dict -> flax import -> output parity.
+
+This validates the full porting chain the BD-rate-parity goal depends on
+(SURVEY.md hard part 5): name resolution (incl. Sequential indices and
+ModuleList dotted names), OIHW->HWIO, Linear transpose, (1,C,1,1)->(1,1,1,C).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+from torch import nn
+
+from vcm_ts_tpu.models.intra import IntraNoAR
+from vcm_ts_tpu.ops import layers as L
+from vcm_ts_tpu.utils.weight_import import (import_state_dict,
+                                            load_torch_state_dict)
+
+
+def nchw(x):
+    return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+
+
+def nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+class TorchRBWS(nn.Module):
+    """torch twin of ResidualBlockWithStride (reference layers.py:42-73)."""
+
+    def __init__(self, in_ch, out_ch, stride=2):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, stride, 1)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, 1, 1)
+        self.downsample = nn.Conv2d(in_ch, out_ch, 1, stride)
+
+    def forward(self, x):
+        out = torch.nn.functional.leaky_relu(self.conv1(x), 0.01)
+        out = torch.nn.functional.leaky_relu(self.conv2(out), 0.1)
+        return out + self.downsample(x)
+
+
+def test_import_residual_block_with_stride(tmp_path):
+    tm = TorchRBWS(5, 7)
+    pth = os.path.join(tmp_path, "m.pth")
+    torch.save(tm.state_dict(), pth)
+
+    fm = L.ResidualBlockWithStride(7, 2)
+    x = np.random.default_rng(0).normal(size=(1, 8, 10, 5)).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = import_state_dict(params, load_torch_state_dict(pth))
+
+    out = fm.apply(params, jnp.asarray(x))
+    ref = tm(nchw(x))
+    np.testing.assert_allclose(np.asarray(out), nhwc(ref), rtol=2e-5, atol=2e-5)
+
+
+class TorchSE(nn.Module):
+    """torch twin of SELayer (reference video_net.py:149-162)."""
+
+    def __init__(self, ch, red=4):
+        super().__init__()
+        self.fc = nn.Sequential(
+            nn.Linear(ch, ch // red, bias=False), nn.ReLU(inplace=True),
+            nn.Linear(ch // red, ch, bias=False), nn.Sigmoid())
+
+    def forward(self, x):
+        y = torch.mean(x, dim=(-1, -2))
+        return x * self.fc(y)[:, :, None, None]
+
+
+def test_import_se_layer_with_sequential_indices(tmp_path):
+    tm = TorchSE(8)
+    pth = os.path.join(tmp_path, "se.pth")
+    torch.save(tm.state_dict(), pth)
+
+    fm = L.SELayer(8, reduction=4)
+    x = np.random.default_rng(1).normal(size=(2, 4, 4, 8)).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = import_state_dict(params, load_torch_state_dict(pth))
+    out = fm.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), nhwc(tm(nchw(x))),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_import_full_intra_model_synthetic(tmp_path):
+    """Round-trip the whole IntraNoAR tree through a synthetic reference-style
+    state dict (exact key names, torch layouts): strict import must cover
+    every leaf and reproduce values."""
+    model = IntraNoAR(N=32, anchor_num=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), 1.0)
+
+    rng = np.random.default_rng(2)
+    sd = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path)
+                continue
+            arr = rng.normal(size=v.shape).astype(np.float32)
+            if k == "kernel":
+                tkey = path.rsplit(".", 1)[0] + ".weight"
+                if arr.ndim == 4:
+                    sd[tkey] = torch.from_numpy(arr.transpose(3, 2, 0, 1).copy())
+                else:
+                    sd[tkey] = torch.from_numpy(arr.T.copy())
+            elif k == "bias":
+                sd[path.rsplit(".", 1)[0] + ".bias"] = torch.from_numpy(arr)
+            elif arr.ndim == 4 and arr.shape[:3] == (1, 1, 1):
+                sd[path] = torch.from_numpy(arr.transpose(0, 3, 1, 2).copy())
+            else:
+                sd[path] = torch.from_numpy(arr)
+
+    walk(params["params"], "")
+    pth = os.path.join(tmp_path, "intra.pth")
+    torch.save(sd, pth)
+
+    imported = import_state_dict(params, load_torch_state_dict(pth))
+
+    # spot-check value fidelity through both transforms
+    k = np.asarray(imported["params"]["enc"]["0"]["conv1"]["kernel"])
+    tk = sd["enc.0.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(k, tk)
+    qb = np.asarray(imported["params"]["q_basic"])
+    np.testing.assert_array_equal(qb, sd["q_basic"].numpy().transpose(0, 2, 3, 1))
+    h = np.asarray(imported["params"]["bit_estimator_z"]["f1"]["h"])
+    np.testing.assert_array_equal(h, sd["bit_estimator_z.f1.h"].numpy()
+                                  .transpose(0, 2, 3, 1))
+
+
+def test_checkpointer_save_load_resume(tmp_path):
+    from vcm_ts_tpu.train.checkpoint import CheckPointer
+
+    model = L.ResidualBlock(4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)))
+    cp = CheckPointer(str(tmp_path))
+    cp.save("ep3", params, None, epoch=3)
+
+    fresh = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 4)))
+    loaded, _, extra = cp.load(fresh)
+    assert extra == {"epoch": 3}
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["conv1"]["kernel"]),
+        np.asarray(params["params"]["conv1"]["kernel"]))
+    assert cp.has_checkpoint()

@@ -1,0 +1,82 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's
+NCCL/torch.distributed layer (trainer_multi.py:16-39, core/utils/dist_util.py).
+
+Data-parallel training runs the *same* jitted train step as single-device
+training, with the global batch sharded over the mesh's "data" axis and
+parameters replicated; XLA inserts the gradient all-reduce over ICI. No
+explicit collectives are needed in the step itself — psum falls out of
+differentiating a mean over a sharded batch against replicated params.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed():
+    """Multi-host bring-up (reference init_distributed, trainer_multi.py:16-39).
+    Safe no-op in single-process runs."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return get_rank() == 0
+
+
+def synchronize():
+    """Barrier (dist_util.py:24-36 equivalent)."""
+    if get_world_size() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("vcm_ts_tpu_barrier")
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put an NHWC (or any leading-batch) pytree sharded over `axis`."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def all_gather_metrics(tree):
+    """Cross-process metric gather (reference's dist.gather_object x6,
+    train_multi.py:456-494). Single-process: identity."""
+    if get_world_size() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree)

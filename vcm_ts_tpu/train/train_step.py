@@ -49,9 +49,19 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
                pl_fn: Optional[Callable], noise_rng, is_first_p: bool,
                training: bool = True):
     """RD (+ optional perceptual) loss for one P-frame
-    (dcvc_hem.py:199-216)."""
+    (dcvc_hem.py:199-216).
+
+    Batch rows cycle through the rate anchors: a global batch of
+    k * anchor_num rows tiles q_scale/lambda k times — the layout a k-rank
+    DDP run produces in the reference (each rank's batch = len(LAMBDAS))."""
     mv_q = params["params"]["mv_y_q_scale"]
     y_q = params["params"]["y_q_scale"]
+    reps = x.shape[0] // mv_q.shape[0]
+    if reps > 1:
+        mv_q = jnp.tile(mv_q, (reps, 1, 1, 1))
+        y_q = jnp.tile(y_q, (reps, 1, 1, 1))
+    if lambdas.shape[0] != x.shape[0]:
+        lambdas = jnp.tile(lambdas, x.shape[0] // lambdas.shape[0])
     out = model.apply(params, x, dpb, mv_q, y_q, is_first_p,
                       training=training, noise_rng=noise_rng)
 
