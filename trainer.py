@@ -1,0 +1,110 @@
+"""Single-host training CLI.
+
+Equivalent of the reference trainer.py:17-94: merge config from YAML +
+remaining CLI opts, freeze, back up the frozen config to OUTPUT_DIR, build
+model / loaders / checkpointer, optional I-frame-net bootstrap with q-scale
+interpolation (core/engine/train.py:197-214), run the stage curriculum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def train_model(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.data import make_data_loader
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.train.checkpoint import CheckPointer
+    from vcm_ts_tpu.train.train_loop import do_train
+    from vcm_ts_tpu.utils.common import interpolate_log
+    from vcm_ts_tpu.utils.logger import setup_logger
+
+    logger = setup_logger("CORE", 0, cfg.OUTPUT_DIR)
+
+    cmv, cn, cm = cfg.MODEL.CHANNELS
+    model = DMC(anchor_num=len(cfg.SOLVER.LAMBDAS), channel_mv=cmv,
+                channel_N=cn, channel_M=cm)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(args.seed), x0, make_dpb(x0),
+                        1.0, 1.0, method="init_all")
+
+    checkpointer = CheckPointer(cfg.OUTPUT_DIR, logger)
+    start_epoch = 0
+    if cfg.MODEL.PRETRAINED_WEIGHTS or checkpointer.has_checkpoint():
+        params, _, extra = checkpointer.load(
+            params, path=cfg.MODEL.PRETRAINED_WEIGHTS or None)
+        start_epoch = int(extra.get("epoch", 0))
+
+    # I-frame bootstrap (train.py:197-214)
+    i_frame_fn = None
+    if cfg.MODEL.I_FRAME_PRETRAINED_WEIGHTS:
+        from vcm_ts_tpu.models.intra import IntraNoAR
+        from vcm_ts_tpu.utils.weight_import import (
+            get_i_frame_q_scales_from_ckpt, import_state_dict,
+            load_torch_state_dict)
+
+        i_model = IntraNoAR()
+        i_params = i_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)), 1.0)
+        path = cfg.MODEL.I_FRAME_PRETRAINED_WEIGHTS
+        if path.endswith(".pth"):
+            i_params = import_state_dict(i_params,
+                                         load_torch_state_dict(path))
+            q_scales = get_i_frame_q_scales_from_ckpt(path)
+        else:
+            i_params, _, _ = CheckPointer().load(i_params, path=path)
+            q_scales = np.asarray(
+                i_params["params"]["q_scale"]).reshape(-1)
+        n = len(cfg.SOLVER.LAMBDAS)
+        if len(q_scales) != n:
+            q_scales = interpolate_log(q_scales[-1], q_scales[0], n)
+        q = jnp.asarray(q_scales, jnp.float32).reshape(-1, 1, 1, 1)
+
+        i_fwd = jax.jit(lambda p, x, q: jnp.clip(
+            i_model.apply(p, x, q)["x_hat"], 0, 1))
+
+        def i_frame_fn(batch):
+            return i_fwd(i_params, jnp.asarray(batch), q)
+
+    train_loader = make_data_loader(cfg, args.seed, is_train=True)
+    test_loader = (make_data_loader(cfg, args.seed, is_train=False)
+                   if cfg.DATASET.TEST_ROOT_DIRS else None)
+
+    return do_train(cfg, model, params, train_loader, checkpointer,
+                    start_epoch=start_epoch, seed=args.seed,
+                    test_loader=test_loader, i_frame_fn=i_frame_fn)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU DCVC-HEM training")
+    parser.add_argument("--config-file", type=str, default="",
+                        help="path to yaml config")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="overrides: KEY VALUE pairs")
+    args = parser.parse_args()
+
+    from vcm_ts_tpu.train.config import default_training_cfg
+
+    cfg = default_training_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "cfg.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    train_model(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,12 +75,13 @@ def decode_p(inputpath):
 
 
 def pad_image(x: np.ndarray, p: int = 64):
-    """Zero-pad an NHWC image to a multiple of p on the right/bottom."""
+    """Zero-pad an NHWC image to a multiple of p on the right/bottom
+    (mode matches reference test_video.py:120-125: constant zeros)."""
     _, h, w, _ = x.shape
     _, pr, _, pb = get_padding_size(h, w, p)
     if pr == 0 and pb == 0:
         return x
-    return np.pad(x, ((0, 0), (0, pb), (0, pr), (0, 0)), mode="edge")
+    return np.pad(x, ((0, 0), (0, pb), (0, pr), (0, 0)), mode="constant")
 
 
 def crop_image(x, height: int, width: int):

@@ -19,6 +19,8 @@ def default_training_cfg() -> CfgNode:
     cfg.MODEL.DEVICE = "tpu"
     cfg.MODEL.PRETRAINED_WEIGHTS = ""
     cfg.MODEL.I_FRAME_PRETRAINED_WEIGHTS = ""
+    # TPU additions: [channel_mv, channel_N, channel_M]; reference widths
+    cfg.MODEL.CHANNELS = [64, 64, 96]
 
     cfg.INPUT = CfgNode()
     cfg.INPUT.MAKE_DIVISIBLE_BY = 8

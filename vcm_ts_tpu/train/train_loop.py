@@ -1,0 +1,116 @@
+"""The training driver: stage curriculum over epochs, per-iteration steps,
+periodic eval + checkpointing.
+
+Equivalent of the reference do_train (core/engine/train.py:162-351) and its
+DDP variant (train_multi.py:271-560), unified: the same jitted step runs
+single-device or mesh-data-parallel depending on how the caller sharded the
+batch. Stage boundaries rebuild the masked optimizer (the reference DDP
+re-inits the model there, train_multi.py:194-200); per-frame stepping stays
+inside run_single_sequence / run_cascade_sequence.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.validation import eval_dataset
+from .optimizer import make_stage_optimizer
+from .stages import calc_max_epoch, get_stage_params
+from .tensorboard import MetricWriter
+from .train_step import (make_cascade_step, make_single_frame_step,
+                         run_cascade_sequence, run_single_sequence)
+
+
+def _mean_aux(aux_list):
+    return {
+        "loss": np.mean([np.asarray(a.loss) for a in aux_list], axis=0),
+        "rate": np.mean([np.asarray(a.rate) for a in aux_list], axis=0),
+        "dist": np.mean([np.asarray(a.dist) for a in aux_list], axis=0),
+        "p_dist": np.mean([np.asarray(a.p_dist) for a in aux_list], axis=0),
+        "bpp": np.mean([np.asarray(a.bpp) for a in aux_list], axis=0),
+        "psnr": np.mean([np.asarray(a.psnr) for a in aux_list], axis=0),
+    }
+
+
+def do_train(cfg, model, params, data_loader, checkpointer,
+             start_epoch: int = 0, seed: int = 0,
+             test_loader=None, i_frame_fn=None, pl_fn=None,
+             world_size: int = 1, is_main: bool = True,
+             writer: Optional[MetricWriter] = None,
+             max_iterations_per_epoch: Optional[int] = None):
+    """Runs the full stage curriculum; returns final params."""
+    logger = logging.getLogger("CORE")
+    max_epoch = calc_max_epoch(cfg.SOLVER.STAGES)
+    lambdas = [float(v) for v in cfg.SOLVER.LAMBDAS]
+    # lr scaling by sqrt(world_size), reference train_multi.py:158-160
+    lr_scale = float(np.sqrt(world_size))
+
+    if writer is None and is_main:
+        writer = MetricWriter(cfg.OUTPUT_DIR)
+
+    cur_stage_idx = -1
+    tx = opt_state = step_fn = None
+    rng = jax.random.PRNGKey(seed)
+    global_step = start_epoch * max(1, len(data_loader))
+
+    for epoch in range(start_epoch, max_epoch):
+        stage = get_stage_params(cfg, epoch)
+        if stage.stage != cur_stage_idx:
+            cur_stage_idx = stage.stage
+            logger.info("Entering stage %d: %s", stage.stage, stage)
+            tx, opt_state = make_stage_optimizer(
+                params, stage.trainable_mode, stage.lr * lr_scale)
+            pl = pl_fn if stage.perceptual_loss else None
+            if stage.forward_method == "single":
+                step_fn = make_single_frame_step(
+                    model, tx, stage, lambdas=lambdas,
+                    dist_lambda=cfg.SOLVER.DIST_LAMBDA,
+                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl)
+            else:
+                step_fn = make_cascade_step(
+                    model, tx, stage, lambdas=lambdas,
+                    dist_lambda=cfg.SOLVER.DIST_LAMBDA,
+                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl)
+
+        data_loader.set_epoch(epoch)
+        for it, (inputs, targets) in enumerate(data_loader):
+            if (max_iterations_per_epoch is not None
+                    and it >= max_iterations_per_epoch):
+                break
+            rng, sub = jax.random.split(rng)
+            if stage.forward_method == "single":
+                params, opt_state, aux_list = run_single_sequence(
+                    model, step_fn, params, opt_state, inputs, targets,
+                    stage, sub, i_frame_fn=i_frame_fn)
+            else:
+                params, opt_state, aux_list = run_cascade_sequence(
+                    model, step_fn, params, opt_state, inputs, targets,
+                    stage, sub, i_frame_fn=i_frame_fn)
+            global_step += 1
+            if is_main and writer is not None:
+                m = _mean_aux(aux_list)
+                writer.add_metrics("train", m, lambdas, global_step)
+                writer.add_scalar("train/stage", stage.stage, global_step)
+                writer.add_scalar("train/lr", stage.lr * lr_scale, global_step)
+                logger.info(
+                    "epoch %d it %d stage %d loss %.4f bpp %s psnr %s",
+                    epoch, it, stage.stage, float(m["loss"].mean()),
+                    np.round(m["bpp"], 4), np.round(m["psnr"], 2))
+
+        if is_main and test_loader is not None:
+            eval_metrics = eval_dataset(
+                model, params, stage, test_loader, cfg, lambdas,
+                i_frame_fn=i_frame_fn, pl_fn=pl_fn)
+            if writer is not None:
+                writer.add_metrics("eval", eval_metrics, lambdas, global_step)
+
+        if is_main and checkpointer is not None:
+            checkpointer.save(f"model_epoch_{epoch:03d}", params, opt_state,
+                              epoch=epoch + 1)
+
+    return params
