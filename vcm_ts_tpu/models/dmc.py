@@ -55,11 +55,21 @@ class DMC(nn.Module):
     channel_mv: int = 64
     channel_N: int = 64
     channel_M: int = 96
+    # Use the fused two-pass Pallas warp kernel instead of the exact gather
+    # warp (speed/parity tradeoff documented in ops/warp_pallas.py).
+    fast_warp: bool = False
+
+    def _warp(self, im, flow, scale: int):
+        if self.fast_warp:
+            from ..ops.warp_pallas import flow_warp_pallas
+            return flow_warp_pallas(im, flow, max_disp=max(6, 24 >> scale))
+        return flow_warp(im, flow)
 
     def setup(self):
         cm, cn, cM = self.channel_mv, self.channel_N, self.channel_M
 
-        self.optic_flow = MESpynet(name="optic_flow")
+        self.optic_flow = MESpynet(name="optic_flow",
+                                   fast_warp=self.fast_warp)
 
         mv_enc, mv_dec = enc_dec_models(2, 2, cm)
         self.mv_encoder = mv_enc(name="mv_encoder")
@@ -152,13 +162,13 @@ class DMC(nn.Module):
 
     def motion_compensation(self, dpb, mv, is_first_p: bool):
         """Multi-scale warped contexts (video_model.py:233-246)."""
-        warpframe = flow_warp(dpb["ref_frame"], mv)
+        warpframe = self._warp(dpb["ref_frame"], mv, 0)
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb, is_first_p)
-        context1 = flow_warp(f1, mv)
-        context2 = flow_warp(f2, mv2)
-        context3 = flow_warp(f3, mv3)
+        context1 = self._warp(f1, mv, 0)
+        context2 = self._warp(f2, mv2, 1)
+        context3 = self._warp(f3, mv3, 2)
         context1, context2, context3 = self.context_fusion_net(
             context1, context2, context3)
         return context1, context2, context3, warpframe

@@ -23,6 +23,14 @@ class MESpynet(nn.Module):
     """Coarse-to-fine 4-level SpyNet (video_net.py:118-146)."""
 
     levels: int = 4
+    fast_warp: bool = False  # two-pass Pallas warp (see ops/warp_pallas.py)
+
+    def _warp(self, im, flow, level):
+        if self.fast_warp:
+            from ..ops.warp_pallas import flow_warp_pallas
+            # displacement bound shrinks with pyramid level resolution
+            return flow_warp_pallas(im, flow, max_disp=max(4, 16 >> level))
+        return flow_warp(im, flow)
 
     def setup(self):
         self.moduleBasic = [MEBasic(name=f"moduleBasic.{i}")
@@ -42,7 +50,8 @@ class MESpynet(nn.Module):
             img_index = self.levels - 1 - level
             flow = flow_up + self.moduleBasic[level](
                 jnp.concatenate([im1_list[img_index],
-                                 flow_warp(im2_list[img_index], flow_up),
+                                 self._warp(im2_list[img_index], flow_up,
+                                            img_index),
                                  flow_up], axis=-1))
         return flow
 

@@ -127,6 +127,8 @@ def flow_warp_pallas(im, flow, max_disp: int = 24, block_h: int = 8,
             pltpu.VMEM((BC, band_rows, wp), im.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flow_chw, im_chw)
 
