@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _warp_kernel(flow_ref, im_hbm, out_ref, band, sem, *,
-                 D: int, BH: int, BC: int, H: int, W: int):
+                 D: int, BH: int, BC: int, H: int, W_real: int, W: int):
+    # W is the (lane-padded) array width; W_real bounds coordinate clamping.
     ib = pl.program_id(1)
     cb = pl.program_id(2)
     # rounded to the sublane tile so HBM DMA slices stay aligned
@@ -51,7 +52,7 @@ def _warp_kernel(flow_ref, im_hbm, out_ref, band, sem, *,
           ).astype(fy.dtype)
     gx = jax.lax.broadcasted_iota(jnp.int32, (BH, W), 1).astype(fx.dtype)
     py = jnp.clip(gy + fy, 0.0, H - 1.0)
-    px = jnp.clip(gx + fx, 0.0, W - 1.0)
+    px = jnp.clip(gx + fx, 0.0, W_real - 1.0)
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     wy = (py - y0)[None]  # (1, BH, W)
@@ -110,7 +111,8 @@ def flow_warp_pallas(im, flow, max_disp: int = 24, block_h: int = 8,
     flow_chw = jnp.transpose(flow_p, (0, 3, 1, 2))
     grid = (n, hp // BH, cp // BC)
 
-    kernel = functools.partial(_warp_kernel, D=D, BH=BH, BC=BC, H=h, W=wp)
+    kernel = functools.partial(_warp_kernel, D=D, BH=BH, BC=BC, H=h,
+                               W_real=w, W=wp)
     out = pl.pallas_call(
         kernel,
         grid=grid,
