@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--write-stream", action="store_true")
     ap.add_argument("--size", default="1088x1920")
+    ap.add_argument("--fast-warp", action="store_true",
+                    help="two-pass Pallas warp kernel (see ops/warp_pallas)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,7 @@ def main():
 
     h, w = (int(v) for v in args.size.split("x"))
 
-    model = DMC(anchor_num=4)
+    model = DMC(anchor_num=4, fast_warp=args.fast_warp)
     x0 = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
                         method="init_all")
@@ -74,22 +76,28 @@ def main():
             out = fwd(params, frames[i % 4], dpb, first)
             return out["dpb"]
 
+    def force(d):
+        # under the axon tunnel block_until_ready returns early; a host fetch
+        # of a scalar reduction is the only reliable completion barrier
+        return float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
+
     # warmup / compile both is_first_p variants
     for i in range(max(2, args.warmup)):
-        dpb_w = run_frame(i, dpb, i == 0)
-        jax.block_until_ready(dpb_w)
+        force(run_frame(i, dpb, i == 0))
 
     t0 = time.perf_counter()
     cur = dpb
     for i in range(args.frames):
         cur = run_frame(i, cur, i == 0)
-    jax.block_until_ready(cur)
+    force(cur)
     t1 = time.perf_counter()
 
     fps = args.frames / (t1 - t0)
     result = {
         "metric": f"1080p P-frame enc+dec fps/chip "
-                  f"({args.dtype}{', real bitstream' if args.write_stream else ', entropy-estimated'})",
+                  f"({args.dtype}"
+                  f"{', fast-warp' if args.fast_warp else ''}"
+                  f"{', real bitstream' if args.write_stream else ', entropy-estimated'})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),

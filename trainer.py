@@ -72,13 +72,19 @@ def train_model(cfg, args):
         def i_frame_fn(batch):
             return i_fwd(i_params, jnp.asarray(batch), q)
 
+    pl_fn = None
+    if any(stage[7] == "true" for stage in cfg.SOLVER.STAGES):
+        from vcm_ts_tpu.train.losses import get_perceptual_loss
+        pl_fn = get_perceptual_loss(cfg)
+
     train_loader = make_data_loader(cfg, args.seed, is_train=True)
     test_loader = (make_data_loader(cfg, args.seed, is_train=False)
                    if cfg.DATASET.TEST_ROOT_DIRS else None)
 
     return do_train(cfg, model, params, train_loader, checkpointer,
                     start_epoch=start_epoch, seed=args.seed,
-                    test_loader=test_loader, i_frame_fn=i_frame_fn)
+                    test_loader=test_loader, i_frame_fn=i_frame_fn,
+                    pl_fn=pl_fn)
 
 
 def main():

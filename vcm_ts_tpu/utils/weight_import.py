@@ -97,14 +97,21 @@ def import_state_dict(flax_params: dict, state_dict: Dict[str, np.ndarray],
 
     missing = []
     for tkey, value in state_dict.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue  # BatchNorm bookkeeping, meaningless for frozen eval BN
         segments = tkey.split(".")
         leaf = segments[-1]
-        leaf = _LEAF_MAP.get(leaf, leaf)
         try:
-            path, node = _resolve(inner, segments[:-1] + [leaf], tkey)
+            # leaf name as-is first (e.g. frozen-BN "weight"/"running_mean"
+            # params keep their torch names), then the conv/linear mapping
+            path, node = _resolve(inner, segments, tkey)
         except KeyError:
-            missing.append(tkey)
-            continue
+            try:
+                mapped = _LEAF_MAP.get(leaf, leaf)
+                path, node = _resolve(inner, segments[:-1] + [mapped], tkey)
+            except KeyError:
+                missing.append(tkey)
+                continue
         flat[tuple(path)] = _convert_leaf(tkey, path[-1], value, np.asarray(node))
 
     if strict and missing:
