@@ -51,7 +51,57 @@ class MetricWriter:
         if self._tb is not None:
             self._tb.flush()
 
+    def add_image_grid(self, tag: str, images, step: int):
+        """images: list of (H, W, 3) float arrays in [0,1], stacked into a
+        horizontal strip (tensorboard.py:83-127 image grids)."""
+        if self._tb is None or not images:
+            return
+        strip = np.concatenate([np.asarray(im) for im in images], axis=1)
+        self._tb.add_image(tag, np.clip(strip, 0, 1).transpose(2, 0, 1), step)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class BestWorstSampleTracker:
+    """Tracks the N best/worst (by per-sample loss) input-vs-decoded pairs per
+    rate anchor within an epoch (reference add_best_and_worst_sample,
+    core/utils/tensorboard.py:6-80), emitting image strips to TensorBoard."""
+
+    def __init__(self, lambdas, best_num: int = 16, worst_num: int = 16):
+        self.lambdas = list(lambdas)
+        self.best_num = best_num
+        self.worst_num = worst_num
+        self.reset()
+
+    def reset(self):
+        self._best = [[] for _ in self.lambdas]   # (loss, input, decoded)
+        self._worst = [[] for _ in self.lambdas]
+
+    def update(self, aux, inputs, decoded):
+        """inputs/decoded: (N, H, W, 3); aux.loss: (N,)."""
+        loss = np.asarray(aux.loss).reshape(-1)
+        inputs = np.asarray(inputs)
+        decoded = np.asarray(decoded)
+        for i in range(min(len(self.lambdas), loss.shape[0])):
+            entry = (float(loss[i]), inputs[i], decoded[i])
+            best = self._best[i]
+            worst = self._worst[i]
+            best.append(entry)
+            best.sort(key=lambda e: e[0])
+            del best[self.best_num:]
+            worst.append(entry)
+            worst.sort(key=lambda e: -e[0])
+            del worst[self.worst_num:]
+
+    def write(self, writer: MetricWriter, step: int):
+        for i, lam in enumerate(self.lambdas):
+            for kind, entries in (("best", self._best[i]),
+                                  ("worst", self._worst[i])):
+                for rank, (_, inp, dec) in enumerate(entries):
+                    writer.add_image_grid(
+                        f"samples/{kind}/lambda_{lam}/{rank}",
+                        [inp, np.clip(dec, 0, 1)], step)
+        self.reset()

@@ -21,7 +21,7 @@ import numpy as np
 from ..eval.validation import eval_dataset
 from .optimizer import make_stage_optimizer
 from .stages import calc_max_epoch, get_stage_params
-from .tensorboard import MetricWriter
+from .tensorboard import BestWorstSampleTracker, MetricWriter
 from .train_step import (make_cascade_step, make_single_frame_step,
                          run_cascade_sequence, run_single_sequence)
 
@@ -52,6 +52,12 @@ def do_train(cfg, model, params, data_loader, checkpointer,
 
     if writer is None and is_main:
         writer = MetricWriter(cfg.OUTPUT_DIR)
+    tracker = None
+    if is_main and (cfg.TENSORBOARD.BEST_SAMPLES_NUM > 0
+                    or cfg.TENSORBOARD.WORST_SAMPLES_NUM > 0):
+        tracker = BestWorstSampleTracker(
+            lambdas, cfg.TENSORBOARD.BEST_SAMPLES_NUM,
+            cfg.TENSORBOARD.WORST_SAMPLES_NUM)
 
     cur_stage_idx = -1
     tx = opt_state = step_fn = None
@@ -83,14 +89,15 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                     and it >= max_iterations_per_epoch):
                 break
             rng, sub = jax.random.split(rng)
+            sample_cb = tracker.update if tracker is not None else None
             if stage.forward_method == "single":
                 params, opt_state, aux_list = run_single_sequence(
                     model, step_fn, params, opt_state, inputs, targets,
-                    stage, sub, i_frame_fn=i_frame_fn)
+                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb)
             else:
                 params, opt_state, aux_list = run_cascade_sequence(
                     model, step_fn, params, opt_state, inputs, targets,
-                    stage, sub, i_frame_fn=i_frame_fn)
+                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb)
             global_step += 1
             if is_main and writer is not None:
                 m = _mean_aux(aux_list)
@@ -101,6 +108,9 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                     "epoch %d it %d stage %d loss %.4f bpp %s psnr %s",
                     epoch, it, stage.stage, float(m["loss"].mean()),
                     np.round(m["bpp"], 4), np.round(m["psnr"], 2))
+
+        if tracker is not None and writer is not None:
+            tracker.write(writer, global_step)
 
         if is_main and test_loader is not None:
             eval_metrics = eval_dataset(

@@ -140,23 +140,23 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
         loss = jnp.mean(jnp.stack(losses))
         mean_aux = jax.tree_util.tree_map(
             lambda *xs_: jnp.mean(jnp.stack(xs_), axis=0), *auxes)
-        return loss, mean_aux
+        return loss, (mean_aux, dpb)
 
     @jax.jit
     def step(params, opt_state, xs, targets, dpb0, rng):
-        (_, aux), grads = jax.value_and_grad(chain_loss, has_aux=True)(
+        (_, (aux, dpb)), grads = jax.value_and_grad(chain_loss, has_aux=True)(
             params, xs, targets, dpb0, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, aux
+        return params, opt_state, aux, jax.lax.stop_gradient(dpb)
 
     return step
 
 
 def run_single_sequence(model, step_fn, params, opt_state, inputs, targets,
-                        stage, rng, i_frame_fn=None):
+                        stage, rng, i_frame_fn=None, sample_cb=None):
     """The reference's forward_single outer loops (dcvc_hem.py:160-238):
     for each subsequence start t_i, re-key the DPB and take `p_frames`
     per-frame gradient steps. inputs/targets: (N, T, H, W, C) numpy/jax."""
@@ -174,11 +174,14 @@ def run_single_sequence(model, step_fn, params, opt_state, inputs, targets,
                 jnp.asarray(targets[:, t_i + 1 + p_idx]), dpb, sub,
                 p_idx == 0)
             aux_list.append(aux)
+            if sample_cb is not None:
+                sample_cb(aux, targets[:, t_i + 1 + p_idx],
+                          dpb["ref_frame"])
     return params, opt_state, aux_list
 
 
 def run_cascade_sequence(model, step_fn, params, opt_state, inputs, targets,
-                         stage, rng, i_frame_fn=None):
+                         stage, rng, i_frame_fn=None, sample_cb=None):
     """forward_cascade outer loop (dcvc_hem.py:380-469): one whole-chain
     gradient step per subsequence start."""
     n, t = inputs.shape[0], inputs.shape[1]
@@ -193,6 +196,9 @@ def run_cascade_sequence(model, step_fn, params, opt_state, inputs, targets,
         ts = jnp.stack([jnp.asarray(targets[:, t_i + 1 + k])
                         for k in range(p_frames)])
         rng, sub = jax.random.split(rng)
-        params, opt_state, aux = step_fn(params, opt_state, xs, ts, dpb, sub)
+        params, opt_state, aux, dpb = step_fn(params, opt_state, xs, ts, dpb,
+                                              sub)
         aux_list.append(aux)
+        if sample_cb is not None:
+            sample_cb(aux, targets[:, t_i + p_frames], dpb["ref_frame"])
     return params, opt_state, aux_list
