@@ -89,7 +89,8 @@ def run_test(video_codec, i_codec, args):
             else:  # lossless I-frame: account the PNG itself
                 recon = x_padded
                 bit = bs.filesize(png_path) * 8
-            dpb = make_dpb(recon)
+            dpb = make_dpb(recon, video_codec.model.channel_N,
+                           video_codec.model.channel_M)
             is_first_p = True
             frame_types.append(0)
             bits.append(bit)

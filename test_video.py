@@ -110,7 +110,9 @@ def run_test(video_codec, i_codec, task, verbose=0):
                 x_padded, task["i_frame_q_scale"], bin_path,
                 pic_height=pic_height, pic_width=pic_width)
             recon = jnp.clip(result["x_hat"], 0, 1)
-            dpb = make_dpb(recon)
+            dpb = make_dpb(recon, video_codec.model.channel_N,
+                           video_codec.model.channel_M) \
+                if video_codec is not None else None
             is_first_p = True
             frame_types.append(0)
             bits.append(result["bit"])

@@ -1,0 +1,101 @@
+"""End-to-end eval-harness test: test_video.run_test over a tiny synthetic
+PNG sequence with small models — exercises the GOP I/P loop, padding,
+PSNR/MS-SSIM metrics, bitstream writing, and the log JSON schema."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_cli(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def tiny_codecs():
+    from vcm_ts_tpu.codec.engine import IntraCodec, VideoCodec
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.models.intra import IntraNoAR
+
+    i_model = IntraNoAR(N=32)
+    i_params = i_model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), 1.0)
+    i_codec = IntraCodec(i_model, i_params)
+
+    p_model = DMC(anchor_num=4, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    p_params = p_model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                            1.0, 1.0, method="init_all")
+    video_codec = VideoCodec(p_model, p_params)
+    i_codec.update()
+    video_codec.update()
+    return i_codec, video_codec
+
+
+@pytest.fixture(scope="module")
+def png_sequence(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    rng = np.random.default_rng(0)
+    base = (rng.random((60, 60, 3)) * 255).astype(np.uint8)
+    for t in range(4):
+        Image.fromarray(np.roll(base, t * 2, axis=1)).save(
+            d / f"im{t + 1}.png")
+    return str(d)
+
+
+def test_run_test_gop_loop_and_log_schema(tmp_path, tiny_codecs, png_sequence):
+    tv = _load_cli("test_video")
+    i_codec, video_codec = tiny_codecs
+    task = {
+        "frame_num": 4,
+        "gop_size": 2,
+        "img_path": png_sequence,
+        "i_frame_q_scale": 1.0,
+        "p_frame_y_q_scale": 1.0,
+        "p_frame_mv_y_q_scale": 1.0,
+        "write_stream": True,
+        "bin_folder": str(tmp_path),
+        "save_decoded_frame": False,
+    }
+    log = tv.run_test(video_codec, i_codec, task)
+
+    assert log["i_frame_num"] == 2 and log["p_frame_num"] == 2
+    assert log["frame_type"] == [0, 1, 0, 1]
+    assert len(log["frame_psnr"]) == 4
+    assert len(log["frame_msssim"]) == 4
+    assert all(b > 0 for b in log["frame_bpp"])
+    assert log["frame_pixel_num"] == 60 * 60
+    assert np.isfinite(log["ave_all_frame_psnr"])
+    # real bitstreams were written per frame
+    assert sorted(os.listdir(tmp_path)) == [f"{i}.bin" for i in range(4)]
+    # JSON-serializable (dump_json path)
+    json.dumps(log)
+
+
+def test_run_test_entropy_estimated_mode(tiny_codecs, png_sequence):
+    tv = _load_cli("test_video")
+    i_codec, video_codec = tiny_codecs
+    task = {
+        "frame_num": 3,
+        "gop_size": 3,
+        "img_path": png_sequence,
+        "i_frame_q_scale": 1.0,
+        "p_frame_y_q_scale": 1.0,
+        "p_frame_mv_y_q_scale": 1.0,
+        "write_stream": False,
+    }
+    log = tv.run_test(video_codec, i_codec, task)
+    assert log["i_frame_num"] == 1 and log["p_frame_num"] == 2

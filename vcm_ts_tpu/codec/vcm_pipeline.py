@@ -116,7 +116,8 @@ def run_dcvc(video_codec, i_codec, args) -> None:
                 x_padded, args["i_frame_q_scale"], bin_path,
                 pic_height=pic_height, pic_width=pic_width)
             recon = jnp.clip(result["x_hat"], 0, 1)
-            dpb = make_dpb(recon)
+            dpb = make_dpb(recon, video_codec.model.channel_N,
+                           video_codec.model.channel_M)
             is_first_p = True
         else:
             result = video_codec.encode_decode(
