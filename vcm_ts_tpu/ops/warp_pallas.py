@@ -46,11 +46,12 @@ def _warp_kernel(flow_ref, im_hbm, out_ref, band, sem, *,
         band, sem)
     copy.start()
 
-    fx = flow_ref[0, 0]  # (BH, W)
-    fy = flow_ref[0, 1]
+    # mask math in f32 always: Mosaic has no bf16 vector comparisons on v5e
+    fx = flow_ref[0, 0].astype(jnp.float32)  # (BH, W)
+    fy = flow_ref[0, 1].astype(jnp.float32)
     gy = (ib * BH + jax.lax.broadcasted_iota(jnp.int32, (BH, W), 0)
-          ).astype(fy.dtype)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (BH, W), 1).astype(fx.dtype)
+          ).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BH, W), 1).astype(jnp.float32)
     py = jnp.clip(gy + fy, 0.0, H - 1.0)
     px = jnp.clip(gx + fx, 0.0, W_real - 1.0)
     y0 = jnp.floor(py)
