@@ -1,0 +1,122 @@
+"""VCM enhancement-layer math tests: residual computation, gradient masks,
+layer fusion, ROI detection plumbing, and metric reports — the
+dependency-free parts of video_coder (detectors/ffmpeg are gated)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from vcm_ts_tpu.codec import vcm_pipeline as vp
+
+cv = pytest.importorskip("cv2")
+
+
+@pytest.fixture()
+def roi_setup(tmp_path):
+    """source + decoded frames and pickled ROI boxes in the pipeline layout."""
+    root = str(tmp_path)
+    src = os.path.join(root, vp.PATHS_ARTIFACTS_SOURCE_FRAMES)
+    dec = os.path.join(root, vp.PATHS_ARTIFACTS_DCVC_HEM)
+    lp = os.path.join(root, vp.PATHS_ENCODED_DIR, "liplates_coords")
+    fc = os.path.join(root, vp.PATHS_ENCODED_DIR, "faces_coords")
+    for d in (src, dec, lp, fc):
+        os.makedirs(d)
+    rng = np.random.default_rng(0)
+    n = 2
+    boxes = [np.array([[8, 8, 24, 20]], np.uint16),
+             np.array([[0, 0, 16, 16], [30, 30, 60, 50]], np.uint16)]
+    for i in range(n):
+        source = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+        decoded = np.clip(source.astype(np.int32)
+                          + rng.integers(-20, 20, source.shape), 0,
+                          255).astype(np.uint8)
+        cv.imwrite(os.path.join(src, f"im{i+1:05d}.png"), source)
+        cv.imwrite(os.path.join(dec, f"im{i+1:05d}.png"), decoded)
+        with open(os.path.join(lp, f"{i+1:05d}"), "wb") as f:
+            pickle.dump(boxes[i], f)
+        with open(os.path.join(fc, f"{i+1:05d}"), "wb") as f:
+            pickle.dump(np.zeros((0, 4), np.uint16), f)
+    return root, boxes
+
+
+def test_residuals_masked_outside_roi(roi_setup):
+    root, boxes = roi_setup
+    out_dir = os.path.join(root, vp.PATHS_ARTIFACTS_RESIDUALS)
+    vp.compute_residuals(root, use_liplates=True, use_faces=True,
+                         out_residuals_dir=out_dir)
+    res = cv.imread(os.path.join(out_dir, "im00001.png"))
+    x1, y1, x2, y2 = boxes[0][0]
+    # outside ROI: zero; inside: centered-at-128 residual
+    outside = np.delete(res.reshape(-1, 3),
+                        np.ravel_multi_index(
+                            np.mgrid[y1:y2, x1:x2].reshape(2, -1),
+                            (64, 80)), axis=0)
+    assert outside.max() == 0
+    assert res[y1:y2, x1:x2].mean() > 0
+
+
+def test_gradient_mask_shape_and_ramp():
+    m = vp.create_gradient_mask(20, 10, border_size=3)
+    assert m.shape == (10, 20, 1)
+    assert m[0, 0, 0] == pytest.approx(0.1, abs=1e-6)   # outermost ring
+    assert m[5, 10, 0] == 1.0                           # interior
+    m0 = vp.create_gradient_mask(8, 8, border_size=0)
+    assert (m0 == 1.0).all()
+
+
+def test_fuse_layers_roundtrip(roi_setup):
+    """fusion(base, source-base residual) must reconstruct the source inside
+    the ROI (border_size=0) and keep the base outside."""
+    root, boxes = roi_setup
+    vp.compute_residuals(root, use_liplates=True, use_faces=True,
+                         out_residuals_dir=os.path.join(
+                             root, vp.PATHS_ARTIFACTS_RESIDUALS))
+    vp.fuse_layers(root, faces_enable=True, liplates_enable=True,
+                   faces_padding=0, liplates_padding=0)
+
+    src = cv.imread(os.path.join(root, vp.PATHS_ARTIFACTS_SOURCE_FRAMES,
+                                 "im00001.png")).astype(np.int32)
+    base = cv.imread(os.path.join(root, vp.PATHS_ARTIFACTS_DCVC_HEM,
+                                  "im00001.png")).astype(np.int32)
+    fused = cv.imread(os.path.join(root, vp.PATHS_ARTIFACTS_RESULT,
+                                   "im00001.png")).astype(np.int32)
+    x1, y1, x2, y2 = boxes[0][0]
+    # inside ROI: fused ~= source (residual quantization off-by-1 allowed)
+    assert np.abs(fused[y1:y2, x1:x2] - src[y1:y2, x1:x2]).max() <= 1
+    # outside ROI: fused == base... residual had +128 offset encoded; the
+    # fusion subtracts 128 outside the mask times zero -> base unchanged
+    mask = np.zeros((64, 80), bool)
+    mask[y1:y2, x1:x2] = True
+    assert np.array_equal(fused[~mask], base[~mask])
+
+
+def test_detect_rois_with_injected_detector(roi_setup):
+    root, _ = roi_setup
+
+    def fake_detector(frame):
+        return np.array([[5.0, 6.0, 30.0, 28.0]]), np.array([0.95])
+
+    vp.detect_rois(root, "liplates", prob=0.9, padding=2,
+                   detector=fake_detector)
+    files = sorted(os.listdir(os.path.join(root, vp.PATHS_ENCODED_DIR,
+                                           "liplates_coords")))
+    assert len(files) == 2
+    with open(os.path.join(root, vp.PATHS_ENCODED_DIR, "liplates_coords",
+                           files[0]), "rb") as f:
+        coords = pickle.load(f)
+    assert coords.dtype == np.uint16
+    np.testing.assert_array_equal(coords, [[3, 4, 32, 30]])  # padded by 2
+
+
+def test_visual_metrics_report(roi_setup):
+    root, _ = roi_setup
+    vp.compute_residuals(root, use_liplates=True, use_faces=True,
+                         out_residuals_dir=os.path.join(
+                             root, vp.PATHS_ARTIFACTS_RESIDUALS))
+    vp.fuse_layers(root, faces_enable=True, liplates_enable=True)
+    out = vp.calc_visual_metrics(root, "dummy.mp4")
+    assert out["roi_psnr"] > out["base_psnr"]  # ROI is losslessly enhanced
+    assert os.path.exists(os.path.join(root, vp.PATHS_INFO,
+                                       "psnr_metrics.txt"))

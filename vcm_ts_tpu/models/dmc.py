@@ -189,6 +189,13 @@ class DMC(nn.Module):
                else self.bit_estimator_z_mv)
         return probs_to_bits(est(z + 0.5) - est(z - 0.5))
 
+    @staticmethod
+    def get_q_scales_from_ckpt(ckpt_path: str):
+        """(y_q_scales, mv_y_q_scales) — API parity with
+        video_model.py:248-253; accepts reference .pth files."""
+        from ..utils.weight_import import get_q_scales_from_ckpt
+        return get_q_scales_from_ckpt(ckpt_path)
+
     def init_all(self, x, dpb, mv_y_q_scale, y_q_scale):
         """Init-only entry: touches the P-frame feature adaptor too, so one
         `model.init(..., method='init_all')` creates the full parameter set

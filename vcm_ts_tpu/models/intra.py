@@ -65,6 +65,12 @@ class IntraNoAR(nn.Module):
             "q_scale", nn.initializers.ones, (self.anchor_num, 1, 1, 1))
         self.bit_estimator_z = BitEstimator(self.N, name="bit_estimator_z")
 
+    @staticmethod
+    def get_q_scales_from_ckpt(ckpt_path: str):
+        """API parity with image_model.py:108-112; accepts .pth files."""
+        from ..utils.weight_import import get_i_frame_q_scales_from_ckpt
+        return get_i_frame_q_scales_from_ckpt(ckpt_path)
+
     # ------------------------------------------------------------------ util
     def get_curr_q(self, q_scale):
         return lower_bound(self.q_basic, 0.5) * q_scale
