@@ -31,8 +31,8 @@ def train_model(cfg, args):
     model = DMC(anchor_num=len(cfg.SOLVER.LAMBDAS), channel_mv=cmv,
                 channel_N=cn, channel_M=cm)
     x0 = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(args.seed), x0, make_dpb(x0),
-                        1.0, 1.0, method="init_all")
+    params = model.init(jax.random.PRNGKey(args.seed), x0,
+                        make_dpb(x0, cn, cm), 1.0, 1.0, method="init_all")
 
     checkpointer = CheckPointer(cfg.OUTPUT_DIR, logger)
     start_epoch = 0
