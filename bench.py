@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     ap.add_argument("--write-stream", action="store_true")
     ap.add_argument("--size", default="1088x1920")
     ap.add_argument("--fast-warp", action="store_true",
