@@ -158,3 +158,27 @@ def test_unet_and_blocks_shapes():
     pd = d.init(rng, y)
     xr = d.apply(pd, y)
     assert xr.shape == (1, 32, 32, 2)
+
+
+def test_flow_warp_one_gather_path_matches_torch():
+    """C >= 32 dispatches to the single-gather formulation; verify it against
+    torch grid_sample too (exactness of the folded taps + clamped coords)."""
+    rng = np.random.default_rng(7)
+    n, h, w, c = 1, 16, 24, 32
+    im = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    flow = (rng.normal(size=(n, h, w, 2)) * 4).astype(np.float32)
+
+    out = flow_warp(jnp.asarray(im), jnp.asarray(flow))
+
+    tim = nchw(im)
+    tflow = nchw(flow)
+    ys = torch.linspace(-1, 1, h).view(1, 1, h, 1).expand(n, 1, h, w)
+    xs = torch.linspace(-1, 1, w).view(1, 1, 1, w).expand(n, 1, h, w)
+    grid = torch.cat([xs, ys], 1)
+    norm_flow = torch.cat([tflow[:, 0:1] / ((w - 1) / 2.0),
+                           tflow[:, 1:2] / ((h - 1) / 2.0)], 1)
+    tout = F.grid_sample(tim, (grid + norm_flow).permute(0, 2, 3, 1),
+                         mode="bilinear", padding_mode="border",
+                         align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), nhwc(tout), rtol=1e-4,
+                               atol=1e-4)

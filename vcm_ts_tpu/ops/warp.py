@@ -5,9 +5,21 @@ Equivalent of the reference's flow_warp/torch_warp
 (x + u, y + v) with border clamping and align_corners=True grid semantics —
 under which the flow is exactly a pixel-space displacement field.
 
-Implemented as four gathers + lerp in pure XLA (gather lowers to dynamic
-slicing on TPU); a fused Pallas kernel can replace this for the hot path
-without changing the interface.
+Two exact formulations, dispatched on channel width (measured on v5e at
+1080p):
+- wide tensors (C >= 32): ONE gather over a precomputed 4C-wide
+  neighbor-block array — per-index cost dominates TPU gathers, so folding
+  the four bilinear taps into one gather is ~1.6x faster (119 -> 76 ms for
+  C=64) despite the 4x materialization;
+- narrow tensors: four separate gathers (the 4C rows would be narrower than
+  a sublane and gather ~3x slower).
+
+Coordinates are clamped BEFORE flooring; for border-clamped bilinear this is
+exactly equivalent to clamping the two tap indices independently (out-of-
+range samples always collapse both taps onto the same edge pixel).
+
+A fused Pallas kernel with two-pass semantics lives in warp_pallas.py
+(model flag fast_warp).
 """
 
 from __future__ import annotations
@@ -15,34 +27,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def flow_warp(im, flow):
-    """Backward-warp `im` by `flow`.
-
-    Args:
-      im: (N, H, W, C) source image/features.
-      flow: (N, H, W, 2) displacement in pixels; channel 0 = horizontal (x),
-        channel 1 = vertical (y) — same convention as the reference.
-
-    Returns:
-      (N, H, W, C) warped tensor, border-clamped bilinear samples.
-    """
+def _clamped_coords(im, flow):
     n, h, w, c = im.shape
     dtype = im.dtype
-
     ys = jnp.arange(h, dtype=dtype)[None, :, None]
     xs = jnp.arange(w, dtype=dtype)[None, None, :]
-    px = xs + flow[..., 0]
-    py = ys + flow[..., 1]
-
+    px = jnp.clip(xs + flow[..., 0], 0.0, w - 1.0)
+    py = jnp.clip(ys + flow[..., 1], 0.0, h - 1.0)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx = (px - x0)[..., None]
     wy = (py - y0)[..., None]
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), wx, wy
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+def _warp_four_gathers(im, flow):
+    n, h, w, c = im.shape
+    x0i, y0i, wx, wy = _clamped_coords(im, flow)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
 
     im_flat = im.reshape(n, h * w, c)
 
@@ -58,3 +61,40 @@ def flow_warp(im, flow):
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def _warp_one_gather(im, flow):
+    n, h, w, c = im.shape
+    x0i, y0i, wx, wy = _clamped_coords(im, flow)
+
+    # neighbor blocks: B[y, x] = [im[y,x], im[y,x+1], im[y+1,x], im[y+1,x+1]]
+    # with edge padding, so x0 == w-1 taps the border pixel (weight wx == 0
+    # there anyway once coords are clamped).
+    ime = jnp.pad(im, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    block = jnp.concatenate(
+        [ime[:, :h, :w], ime[:, :h, 1:w + 1],
+         ime[:, 1:h + 1, :w], ime[:, 1:h + 1, 1:w + 1]], axis=-1)
+    block = block.reshape(n, h * w, 4 * c)
+    idx = (y0i * w + x0i).reshape(n, h * w, 1)
+    g = jnp.take_along_axis(block, idx, axis=1).reshape(n, h, w, 4, c)
+    v00, v01, v10, v11 = (g[..., 0, :], g[..., 1, :],
+                          g[..., 2, :], g[..., 3, :])
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def flow_warp(im, flow):
+    """Backward-warp `im` by `flow`.
+
+    Args:
+      im: (N, H, W, C) source image/features.
+      flow: (N, H, W, 2) displacement in pixels; channel 0 = horizontal (x),
+        channel 1 = vertical (y) — same convention as the reference.
+
+    Returns:
+      (N, H, W, C) warped tensor, border-clamped bilinear samples.
+    """
+    if im.shape[-1] >= 32:
+        return _warp_one_gather(im, flow)
+    return _warp_four_gathers(im, flow)
