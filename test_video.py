@@ -276,6 +276,13 @@ def main():
                 count_frames += task["frame_num"]
                 tasks.append(task)
 
+    # Multi-host sweeps: shard the task list across processes (the TPU
+    # analog of the reference's process pool, SURVEY.md 2.4); single-process
+    # runs see every task.
+    import jax
+    if jax.process_count() > 1:
+        tasks = tasks[jax.process_index()::jax.process_count()]
+
     results = []
     for task in tasks:
         res = run_test(video_codec, i_codec, task, verbose=args.verbose)

@@ -148,3 +148,67 @@ def test_checkpointer_save_load_resume(tmp_path):
         np.asarray(loaded["params"]["conv1"]["kernel"]),
         np.asarray(params["params"]["conv1"]["kernel"]))
     assert cp.has_checkpoint()
+
+
+def test_import_full_dmc_model_synthetic(tmp_path):
+    """Strict full-tree import for DMC (the real checkpoint's structure):
+    every leaf must be covered by a reference-style torch state dict."""
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+
+    model = DMC(anchor_num=4, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                        1.0, 1.0, method="init_all")
+
+    rng = np.random.default_rng(5)
+    sd = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path)
+                continue
+            arr = rng.normal(size=v.shape).astype(np.float32)
+            if k == "kernel":
+                tkey = path.rsplit(".", 1)[0] + ".weight"
+                if arr.ndim == 4:
+                    sd[tkey] = torch.from_numpy(arr.transpose(3, 2, 0, 1).copy())
+                else:
+                    sd[tkey] = torch.from_numpy(arr.T.copy())
+            elif k == "bias":
+                sd[path.rsplit(".", 1)[0] + ".bias"] = torch.from_numpy(arr)
+            elif arr.ndim == 4 and arr.shape[:3] == (1, 1, 1):
+                sd[path] = torch.from_numpy(arr.transpose(0, 3, 1, 2).copy())
+            else:
+                sd[path] = torch.from_numpy(arr)
+
+    walk(params["params"], "")
+    pth = os.path.join(tmp_path, "dmc.pth")
+    torch.save(sd, pth)
+
+    imported = import_state_dict(params, load_torch_state_dict(pth))
+    # strict import succeeded => full coverage both directions; spot-check
+    k = np.asarray(imported["params"]["optic_flow"]["moduleBasic.2"]["conv1"]["kernel"])
+    tk = sd["optic_flow.moduleBasic.2.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(k, tk)
+    qb = np.asarray(imported["params"]["mv_y_q_basic"])
+    np.testing.assert_array_equal(
+        qb, sd["mv_y_q_basic"].numpy().transpose(0, 2, 3, 1))
+
+
+def test_export_import_round_trip():
+    """flax -> torch layout -> flax must be the identity (weight interop)."""
+    from vcm_ts_tpu.models.intra import IntraNoAR
+    from vcm_ts_tpu.utils.weight_export import flax_to_torch_state_dict
+
+    model = IntraNoAR(N=32, anchor_num=4)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)), 1.0)
+    sd = {k: torch.from_numpy(v)
+          for k, v in flax_to_torch_state_dict(params).items()}
+    back = import_state_dict(params, {k: v.numpy() for k, v in sd.items()})
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0][:20],
+            jax.tree_util.tree_flatten_with_path(back)[0][:20]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
