@@ -66,3 +66,43 @@ def test_dp_equivalence_1_vs_8_devices():
     k1 = np.asarray(p_1["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
     k8 = np.asarray(p_8["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_sharding_matches_unsharded():
+    """H-axis (spatial/sequence-dim) sharded forward over 4 virtual devices
+    must match the single-device result: GSPMD inserts conv halo exchanges
+    and gather collectives."""
+    from vcm_ts_tpu.parallel import spatial as sp
+
+    model = DMC(anchor_num=2, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    dpb0 = make_dpb(x0, 16, 24)
+    params = model.init(jax.random.PRNGKey(0), x0, dpb0, 1.0, 1.0,
+                        method="init_all")
+    # damp kernels so activations stay O(1): raw Xavier(sqrt(2)) init blows
+    # values up to ~1e4, where f32 reassociation across shardings dominates
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: v * 0.5 if path[-1].key == "kernel" else v, params)
+    # smooth content: float reassociation across shardings can flip
+    # floor() in the warp at exact integer sample points, so noise images
+    # would amplify ULP differences into pixel-value jumps
+    rng = np.random.default_rng(0)
+    base_img = rng.random((1, 8, 8, 3)).astype(np.float32)
+    x = jnp.asarray(np.kron(base_img, np.ones((1, 8, 8, 1))), jnp.float32)
+    ref_frame = jnp.asarray(np.kron(np.roll(base_img, 1, 2),
+                                    np.ones((1, 8, 8, 1))), jnp.float32)
+    dpb = make_dpb(ref_frame, 16, 24)
+
+    base = model.apply(params, x, dpb, 1.0, 1.0, True, training=False)
+
+    mesh = sp.make_spatial_mesh(4)
+    fwd = sp.spatial_forward(model, mesh, is_first_p=True)
+    out = fwd(sp.replicate(params, mesh), sp.shard_spatial(x, mesh),
+              sp.shard_spatial_dpb(dpb, mesh),
+              jnp.ones(()), jnp.ones(()))
+
+    np.testing.assert_allclose(np.asarray(out["dpb"]["ref_frame"]),
+                               np.asarray(base["dpb"]["ref_frame"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["bpp"]),
+                               np.asarray(base["bpp"]), rtol=2e-3, atol=1e-4)
