@@ -277,11 +277,14 @@ def main():
                 tasks.append(task)
 
     # Multi-host sweeps: shard the task list across processes (the TPU
-    # analog of the reference's process pool, SURVEY.md 2.4); single-process
-    # runs see every task.
+    # analog of the reference's process pool, SURVEY.md 2.4); each process
+    # writes its own <output_path>.rankK file holding only its tasks (there
+    # is no host-side result gather), which a trivial post-merge combines.
+    # Single-process runs see every task and write output_path directly.
     import jax
     if jax.process_count() > 1:
         tasks = tasks[jax.process_index()::jax.process_count()]
+        args.output_path = f"{args.output_path}.rank{jax.process_index()}"
 
     results = []
     for task in tasks:
@@ -292,17 +295,9 @@ def main():
         results.append(res)
 
     log_result = {}
-    for ds_name in config:
-        if config[ds_name]["test"] == 0:
-            continue
-        log_result[ds_name] = {}
-        for seq in config[ds_name]["sequences"]:
-            log_result[ds_name][seq] = {}
-            for rate in range(rate_num):
-                for res in results:
-                    if (res["rate_idx"] == rate and ds_name == res["ds_name"]
-                            and seq == res["video_path"]):
-                        log_result[ds_name][seq][f"{rate:03d}"] = res
+    for res in results:
+        log_result.setdefault(res["ds_name"], {}).setdefault(
+            res["video_path"], {})[f"{res['rate_idx']:03d}"] = res
 
     out_dir = os.path.dirname(args.output_path)
     if out_dir:

@@ -33,15 +33,17 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
     losses, rates, dists, p_dists, bpps, psnrs = [], [], [], [], [], []
     rng = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def eval_frame(params, x, target, dpb, rng):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5,))
+    def eval_frame(params, x, target, dpb, rng, is_first_p):
         return frame_loss(params, model, x, target, dpb,
                           lambdas=lambdas_arr,
                           dist_lambda=cfg.SOLVER.DIST_LAMBDA,
                           pl_lambda=cfg.SOLVER.PL_LAMBDA,
                           loss_rate_keys=stage.loss_rate_keys,
                           loss_dist_key=stage.loss_dist_key,
-                          pl_fn=pl, noise_rng=rng, is_first_p=True,
+                          pl_fn=pl, noise_rng=rng, is_first_p=is_first_p,
                           training=False)
 
     for inputs, targets in data_loader:
@@ -55,7 +57,8 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
                 rng, sub = jax.random.split(rng)
                 _, (aux, dpb) = eval_frame(
                     params, jnp.asarray(inputs[:, t_i + 1 + p_idx]),
-                    jnp.asarray(targets[:, t_i + 1 + p_idx]), dpb, sub)
+                    jnp.asarray(targets[:, t_i + 1 + p_idx]), dpb, sub,
+                    p_idx == 0)
                 losses.append(np.asarray(aux.loss))
                 rates.append(np.asarray(aux.rate))
                 dists.append(np.asarray(aux.dist))

@@ -86,8 +86,12 @@ class DCVC_HEM:
                 p_frames: Optional[int] = None,
                 perceptual_loss: Optional[bool] = None,
                 is_train: bool = True, dpb=None, t_i=None,
-                i_frame_net=None, i_frame_q_scales=None):
-        """(dcvc_hem.py:605-631)"""
+                i_frame_net=None, i_frame_q_scales=None,
+                is_first_p: bool = True):
+        """(dcvc_hem.py:605-631). For the *_multi variants the caller owns
+        the DPB chaining, so it must pass is_first_p=False for frames whose
+        DPB came from a previous P-frame (the reference infers this from
+        ref_feature being None)."""
         if forward_method == "single":
             return self._run("single", input, target, loss_dist_key,
                              loss_rate_keys, p_frames, perceptual_loss,
@@ -99,7 +103,8 @@ class DCVC_HEM:
         if forward_method in ("single_multi", "cascade_multi"):
             return self._frame_losses(input, target, loss_dist_key,
                                       loss_rate_keys, dpb, perceptual_loss,
-                                      forward_method, p_frames, t_i)
+                                      forward_method, p_frames, t_i,
+                                      is_first_p)
         if forward_method == "forward_simple":
             return self.forward_simple(input, dpb)
         raise ValueError(f"unknown forward method: {forward_method}")
@@ -116,6 +121,9 @@ class DCVC_HEM:
 
     def _run(self, method, inputs, targets, dist_key, rate_keys, p_frames,
              pl, is_train, i_frame_fn):
+        if not is_train:
+            return self._run_eval(method, inputs, targets, dist_key,
+                                  rate_keys, p_frames, pl, i_frame_fn)
         self._activate(self._mode)
         stage = self._stage(method, dist_key, rate_keys, p_frames, pl)
         key = (method, stage.loss_dist_key, stage.loss_rate_keys,
@@ -134,8 +142,53 @@ class DCVC_HEM:
         params, opt_state, aux_list = runner(
             self.dmc, step, self.params, self._opt_state, np.asarray(inputs),
             np.asarray(targets), stage, sub, i_frame_fn=i_frame_fn)
-        if is_train:
-            self.params, self._opt_state = params, opt_state
+        self.params, self._opt_state = params, opt_state
+        return {
+            "rate": np.stack([np.asarray(a.rate) for a in aux_list], -1),
+            "dist": np.stack([np.asarray(a.dist) for a in aux_list], -1),
+            "p_dist": np.stack([np.asarray(a.p_dist) for a in aux_list], -1),
+            "loss": np.stack([np.asarray(a.loss) for a in aux_list], -1),
+            "single_forwards": len(aux_list),
+        }
+
+    def _run_eval(self, method, inputs, targets, dist_key, rate_keys,
+                  p_frames, pl, i_frame_fn):
+        """Eval path: hard-rounding quantization, no gradients, no optimizer
+        (reference is_train=False semantics)."""
+        from functools import partial
+
+        stage = self._stage(method, dist_key, rate_keys, p_frames, pl)
+        key = ("eval", stage.loss_dist_key, stage.loss_rate_keys, bool(pl))
+        if key not in self._step_cache:
+            @partial(jax.jit, static_argnums=(4,))
+            def eval_frame(params, x, target, dpb, is_first_p):
+                return frame_loss(
+                    params, self.dmc, x, target, dpb,
+                    lambdas=jnp.asarray(self.lambdas, jnp.float32),
+                    dist_lambda=self.dist_lambda, pl_lambda=self.pl_lambda,
+                    loss_rate_keys=stage.loss_rate_keys,
+                    loss_dist_key=stage.loss_dist_key,
+                    pl_fn=self.perceptual_loss if pl else None,
+                    noise_rng=None, is_first_p=is_first_p, training=False)
+            self._step_cache[key] = eval_frame
+        eval_frame = self._step_cache[key]
+
+        inputs = np.asarray(inputs)
+        targets = np.asarray(targets)
+        t = inputs.shape[1]
+        pf = stage.p_frames
+        aux_list = []
+        for t_i in range(t - pf):
+            ref = (i_frame_fn(inputs[:, t_i]) if i_frame_fn is not None
+                   else inputs[:, t_i])
+            dpb = make_dpb(jnp.asarray(ref), self.dmc.channel_N,
+                           self.dmc.channel_M)
+            for p_idx in range(pf):
+                _, (aux, dpb) = eval_frame(
+                    self.params, jnp.asarray(inputs[:, t_i + 1 + p_idx]),
+                    jnp.asarray(targets[:, t_i + 1 + p_idx]), dpb,
+                    p_idx == 0)
+                aux_list.append(aux)
         return {
             "rate": np.stack([np.asarray(a.rate) for a in aux_list], -1),
             "dist": np.stack([np.asarray(a.dist) for a in aux_list], -1),
@@ -145,7 +198,7 @@ class DCVC_HEM:
         }
 
     def _frame_losses(self, inputs, targets, dist_key, rate_keys, dpb, pl,
-                      method, p_frames, t_i):
+                      method, p_frames, t_i, is_first_p=True):
         """*_multi variants: loss only, optimizer stepping stays external
         (reference train_multi.py:203-268)."""
         stage = self._stage(method, dist_key, rate_keys, p_frames, pl)
@@ -159,7 +212,7 @@ class DCVC_HEM:
                 loss_rate_keys=stage.loss_rate_keys,
                 loss_dist_key=stage.loss_dist_key,
                 pl_fn=self.perceptual_loss if pl else None,
-                noise_rng=sub, is_first_p=dpb is None or True)
+                noise_rng=sub, is_first_p=is_first_p)
             return {"loss": aux.loss,
                     "loss_to_opt": jnp.mean(aux.loss),
                     "rate": aux.rate, "dist": aux.dist, "p_dist": aux.p_dist,

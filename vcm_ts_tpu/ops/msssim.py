@@ -56,9 +56,11 @@ def _ssim_per_channel(x, y, kernel, data_range=1.0, k=(0.01, 0.03)):
 
 
 def _downsample2(x):
-    """avg_pool 2x2 with the same odd-size zero padding pytorch_msssim uses."""
+    """avg_pool 2x2 matching pytorch_msssim: F.avg_pool2d(x, 2,
+    padding=s % 2) pads SYMMETRICALLY and includes the pad in the average
+    (count_include_pad=True); output size floor(h/2) + (h % 2)."""
     n, h, w, c = x.shape
-    x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    x = jnp.pad(x, ((0, 0), (h % 2, h % 2), (w % 2, w % 2), (0, 0)))
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
 

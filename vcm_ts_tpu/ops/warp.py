@@ -28,12 +28,16 @@ import jax.numpy as jnp
 
 
 def _clamped_coords(im, flow):
+    # coordinate math always in f32: bf16 cannot represent pixel indices
+    # above 256 exactly (spacing 8 at x >= 1024), which would shift samples
+    # by multiple pixels on 1080p frames
     n, h, w, c = im.shape
-    dtype = im.dtype
-    ys = jnp.arange(h, dtype=dtype)[None, :, None]
-    xs = jnp.arange(w, dtype=dtype)[None, None, :]
-    px = jnp.clip(xs + flow[..., 0], 0.0, w - 1.0)
-    py = jnp.clip(ys + flow[..., 1], 0.0, h - 1.0)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
+    px = jnp.clip(xs + fx, 0.0, w - 1.0)
+    py = jnp.clip(ys + fy, 0.0, h - 1.0)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx = (px - x0)[..., None]
@@ -60,7 +64,7 @@ def _warp_four_gathers(im, flow):
 
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    return (top * (1.0 - wy) + bot * wy).astype(im.dtype)
 
 
 def _warp_one_gather(im, flow):
@@ -81,7 +85,7 @@ def _warp_one_gather(im, flow):
                           g[..., 2, :], g[..., 3, :])
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    return (top * (1.0 - wy) + bot * wy).astype(im.dtype)
 
 
 def flow_warp(im, flow):
