@@ -189,9 +189,16 @@ def encode_decode_dcvc(frames_dir, image_model_weights, video_model_weights,
         y_q = np.asarray(p_params["params"]["y_q_scale"]).reshape(-1)
         mv_q = np.asarray(p_params["params"]["mv_y_q_scale"]).reshape(-1)
 
-    i_scales = interpolate_log(i_q[-1], i_q[0], rate_count)
-    y_scales = interpolate_log(y_q[-1], y_q[0], rate_count)
-    mv_scales = interpolate_log(mv_q[-1], mv_q[0], rate_count)
+    def _interp(q):
+        # untrained/constant q_scales (e.g. fresh checkpoints) cannot be
+        # log-interpolated; fall back to a constant rate ladder
+        if q[0] <= q[-1]:
+            return np.full(rate_count, float(q[0]))
+        return interpolate_log(q[-1], q[0], rate_count)
+
+    i_scales = _interp(i_q)
+    y_scales = _interp(y_q)
+    mv_scales = _interp(mv_q)
 
     i_codec = IntraCodec(i_model, i_params)
     video_codec = VideoCodec(p_model, p_params)

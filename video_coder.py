@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 
 from vcm_ts_tpu.codec import vcm_pipeline as vp
 from vcm_ts_tpu.train.config import default_codec_settings
@@ -79,16 +80,23 @@ def main():
             out_residuals_dir=os.path.join(args.result_root,
                                            vp.PATHS_ARTIFACTS_RESIDUALS))
 
+        have_ffmpeg = shutil.which("ffmpeg") is not None
         h265 = codec_settings.ENHANCEMENT_LAYER.H265
-        vp.encode_frames(
-            src_root=os.path.join(args.result_root,
-                                  vp.PATHS_ARTIFACTS_RESIDUALS),
-            video_path=os.path.join(args.result_root, vp.PATHS_ENCODED_DIR,
-                                    "enhancement_layer.h265"),
-            crf=h265.CRF, preset=h265.PRESET, pix_fmt=h265.PIX_FMT,
-            save_to_frames=True,
-            frames_path=os.path.join(args.result_root,
-                                     vp.PATHS_ARTIFACTS_RESIDUALS_ENCODED))
+        if have_ffmpeg:
+            vp.encode_frames(
+                src_root=os.path.join(args.result_root,
+                                      vp.PATHS_ARTIFACTS_RESIDUALS),
+                video_path=os.path.join(args.result_root,
+                                        vp.PATHS_ENCODED_DIR,
+                                        "enhancement_layer.h265"),
+                crf=h265.CRF, preset=h265.PRESET, pix_fmt=h265.PIX_FMT,
+                save_to_frames=True,
+                frames_path=os.path.join(args.result_root,
+                                         vp.PATHS_ARTIFACTS_RESIDUALS_ENCODED))
+        else:
+            logger.warning(
+                "ffmpeg not found: skipping H.265 enhancement-layer encode; "
+                "the decoder will fuse the raw (lossless) residual PNGs")
 
         vp.calc_bitrate_metrics(args.result_root, args.video_path,
                                 gop=codec_settings.BASE_LAYER.DCVC_HEM.GOP)
@@ -100,23 +108,29 @@ def main():
                        faces_padding=dets.FACES.PADDING,
                        liplates_padding=dets.LIPLATES.PADDING)
 
-        vp.encode_frames(
-            src_root=os.path.join(args.result_root,
-                                  vp.PATHS_ARTIFACTS_RESULT),
-            video_path=os.path.join(args.result_root, vp.PATHS_DECODED_DIR,
-                                    "vcm-ts_decoded.h265"),
-            crf=0, preset="medium", pix_fmt="gbrp", save_to_frames=False)
-
-        cmp265 = codec_settings.COMPARE.H265
-        vp.encode_same_bitrate(
-            args.result_root, args.video_path,
-            out_video_path=os.path.join(args.result_root,
+        if shutil.which("ffmpeg") is not None:
+            vp.encode_frames(
+                src_root=os.path.join(args.result_root,
+                                      vp.PATHS_ARTIFACTS_RESULT),
+                video_path=os.path.join(args.result_root,
                                         vp.PATHS_DECODED_DIR,
-                                        "same_bitrate.h265"),
-            preset=cmp265.PRESET, pix_fmt=cmp265.PIX_FMT,
-            save_to_frames=True,
-            frames_path=os.path.join(args.result_root,
-                                     vp.PATHS_ARTIFACTS_SAME_BITRATE))
+                                        "vcm-ts_decoded.h265"),
+                crf=0, preset="medium", pix_fmt="gbrp", save_to_frames=False)
+
+            cmp265 = codec_settings.COMPARE.H265
+            vp.encode_same_bitrate(
+                args.result_root, args.video_path,
+                out_video_path=os.path.join(args.result_root,
+                                            vp.PATHS_DECODED_DIR,
+                                            "same_bitrate.h265"),
+                preset=cmp265.PRESET, pix_fmt=cmp265.PIX_FMT,
+                save_to_frames=True,
+                frames_path=os.path.join(args.result_root,
+                                         vp.PATHS_ARTIFACTS_SAME_BITRATE))
+        else:
+            logger.warning(
+                "ffmpeg not found: skipping lossless export and the "
+                "same-bitrate H.265 comparison encode")
 
         vp.calc_visual_metrics(args.result_root, args.video_path,
                                liplates_padding=dets.LIPLATES.PADDING,
