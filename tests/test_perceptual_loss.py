@@ -95,3 +95,35 @@ def test_resnet50_body_has_torchvision_key_structure():
     assert "downsample" in p["layer1"]["0"]
     assert "running_mean" in p["layer1"]["0"]["bn1"]
     assert p["layer4"]["2"]["conv3"]["kernel"].shape == (1, 1, 512, 2048)
+
+
+def test_yolov8_backbone_structure_and_loss():
+    """YOLOv8 graph at a tiny scale: tap shapes follow the architecture
+    (P1..P5 + three neck levels) and the loss obeys metric properties."""
+    from vcm_ts_tpu.train.yolo_v8 import YOLOv8Backbone, YOLOV8PerceptualLoss
+
+    net = YOLOv8Backbone(width=0.125, depth=0.34, max_channels=768)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    taps = net.apply(params, x)
+    assert set(taps) == {"1", "2", "3", "4", "5", "3_deep", "4_deep",
+                         "5_deep"}
+    assert taps["1"].shape == (1, 32, 32, 8)       # P1/2, 64*0.125
+    assert taps["3"].shape == (1, 8, 8, 32)        # P3/8
+    assert taps["5"].shape == (1, 2, 2, 128)       # P5/32
+    assert taps["3_deep"].shape == (1, 8, 8, 32)   # neck C2f @ P3
+    assert taps["5_deep"].shape == (1, 2, 2, 128)  # neck C2f @ P5
+    # ultralytics state-dict-shaped param tree
+    p = params["params"]
+    assert "0" in p and "conv" in p["0"] and "bn" in p["0"]
+    assert "m.0" in p["2"] and "cv1" in p["2"]["m.0"]
+
+    pl = YOLOV8PerceptualLoss(width=0.125, depth=0.34)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((2, 60, 60, 3)), jnp.float32)  # pads to 64
+    pp = pl.init(jax.random.PRNGKey(1), a, a)
+    same = np.asarray(pl.apply(pp, a, a))
+    np.testing.assert_allclose(same, 0.0, atol=1e-10)
+    b = jnp.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32),
+                 0, 1)
+    assert np.all(np.asarray(pl.apply(pp, a, b)) > 0)

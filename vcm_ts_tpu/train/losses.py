@@ -249,8 +249,23 @@ def get_perceptual_loss(cfg) -> Optional[callable]:
         return pl_fn
 
     if kind == "yolo":
-        raise RuntimeError(
-            "YOLOv8 perceptual loss needs the ultralytics package to "
-            "deserialize pretrained/yolov8m.pt; install it or use "
-            "SOLVER.PL_MODEL in {'resnet', 'fpn'}")
+        from .yolo_v8 import YOLOV8PerceptualLoss, import_yolo_weights
+
+        model = YOLOV8PerceptualLoss()
+        x0 = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x0, x0)
+        yolo_weights = "pretrained/yolov8m.pt"
+        if os.path.exists(yolo_weights):
+            params = import_yolo_weights(params, yolo_weights)
+        else:
+            logger.warning(
+                "Perceptual-loss weights '%s' not found; using random init",
+                yolo_weights)
+        layers = tuple(cfg.SOLVER.PL_LAYERS)
+
+        def pl_fn(target, decoded):
+            return model.apply(params, target, decoded,
+                               feature_layers=layers)
+
+        return pl_fn
     raise ValueError(f"Invalid perceptual loss: {kind}")
