@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--size", default="1088x1920")
     ap.add_argument("--fast-warp", action="store_true",
                     help="two-pass Pallas warp kernel (see ops/warp_pallas)")
+    ap.add_argument("--pipelined-encode", action="store_true",
+                    help="encode-only GOP throughput with host rANS "
+                         "overlapped against device compute")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,26 @@ def main():
     frames = [jnp.asarray(rng.random((1, h, w, 3)), dtype)
               for _ in range(4)]
     dpb = make_dpb(frames[0])
+
+    if args.pipelined_encode:
+        from vcm_ts_tpu.codec.engine import VideoCodec
+        codec = VideoCodec(model, params)
+        codec.update()
+        # warm both jit variants
+        st, _ = codec.encode_gop(frames[:2], dpb, 0.7, 0.7)
+        t0 = time.perf_counter()
+        seq = [frames[i % 4] for i in range(args.frames)]
+        streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
+        t1 = time.perf_counter()
+        fps = args.frames / (t1 - t0)
+        print(json.dumps({
+            "metric": f"1080p P-frame pipelined ENCODE fps/chip "
+                      f"({args.dtype}, real bitstream)",
+            "value": round(fps, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps / 60.0, 4),
+        }))
+        return
 
     if args.write_stream:
         from vcm_ts_tpu.codec.engine import VideoCodec

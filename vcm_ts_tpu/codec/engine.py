@@ -107,9 +107,12 @@ class VideoCodec:
         assert self.z_table is not None, "call update() first"
         out = self._compress(self.params, jnp.asarray(x), dpb,
                              mv_y_q_scale, y_q_scale, is_first_p)
+        return {"bit_stream": self._host_encode(out), "dpb": out["dpb"]}
+
+    def _host_encode(self, out) -> bytes:
+        """Turn one frame's device symbol planes into its rANS stream."""
         mv_z = np.asarray(out["mv_z_hat"])
         z = np.asarray(out["z_hat"])
-
         self.coder.reset_encoder()
         self.coder.encode_with_indexes(
             mv_z, be.build_indexes(mv_z.shape), self.z_mv_table)
@@ -122,10 +125,44 @@ class VideoCodec:
         self.coder.encode_with_indexes(
             z, be.build_indexes(z.shape), self.z_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_0"]), np.asarray(out["idx_w_0"]), self.y_table)
+            np.asarray(out["y_q_w_0"]), np.asarray(out["idx_w_0"]),
+            self.y_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]), self.y_table)
-        return {"bit_stream": self.coder.flush_encoder(), "dpb": out["dpb"]}
+            np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]),
+            self.y_table)
+        return self.coder.flush_encoder()
+
+    def encode_gop(self, frames, dpb, mv_y_q_scale, y_q_scale,
+                   is_first_p=True):
+        """Pipelined encoder for a burst of P-frames (SURVEY.md hard part 2).
+
+        The decode path is inherently sequential, but on the ENCODE side the
+        host rANS of frame t can overlap the device compute of frame t+1:
+        device work is dispatched asynchronously and only the host pull of
+        frame t's symbol planes synchronizes with it. Streams are
+        byte-identical to sequential compress() calls.
+
+        Returns (list of bit_stream bytes, final dpb).
+        """
+        assert self.z_table is not None, "call update() first"
+        streams = []
+        pending = None
+        for i, x in enumerate(frames):
+            out = self._compress(self.params, jnp.asarray(x), dpb,
+                                 mv_y_q_scale, y_q_scale,
+                                 is_first_p if i == 0 else False)
+            # chain the DECODER-equivalent DPB: the decoder clamps the recon
+            # (video_model.py:413) while compress leaves it unclamped; using
+            # the unclamped frame here would silently desynchronize encoder
+            # predictions from what the decoder reconstructs
+            dpb = dict(out["dpb"])
+            dpb["ref_frame"] = jnp.clip(dpb["ref_frame"], 0.0, 1.0)
+            if pending is not None:
+                streams.append(self._host_encode(pending))
+            pending = out
+        if pending is not None:
+            streams.append(self._host_encode(pending))
+        return streams, dpb
 
     # ------------------------------------------------------------- decompress
     def decompress(self, dpb, stream: bytes, height: int, width: int,
