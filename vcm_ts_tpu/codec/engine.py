@@ -43,38 +43,51 @@ class VideoCodec:
 
         gauss = self.gaussian
 
+        def idx_u8(scales):
+            # scale-table rows < 256: ship indexes as uint8 to quarter the
+            # device->host transfer (the tunnel link is the bottleneck)
+            return gauss.build_indexes(scales).astype(jnp.uint8)
+
         def compress_fn(p, x, dpb, mv_q, y_q, is_first_p):
             out = model.apply(p, x, dpb, mv_q, y_q, is_first_p,
                               method="compress_device")
             for k in ("mv_scales_w_0", "mv_scales_w_1",
                       "scales_w_0", "scales_w_1"):
-                out[k.replace("scales", "idx")] = gauss.build_indexes(out.pop(k))
+                out[k.replace("scales", "idx")] = idx_u8(out.pop(k))
+            # symbol planes: int16 covers the coder's in-window symbols and
+            # any realistic bypass magnitudes from quantized latents
+            for k in ("mv_y_q_w_0", "mv_y_q_w_1", "y_q_w_0", "y_q_w_1"):
+                out[k] = jnp.clip(out[k], -32768, 32767).astype(jnp.int16)
+            out["z_hat"] = jnp.clip(out["z_hat"], -32768, 32767).astype(jnp.int16)
+            out["mv_z_hat"] = jnp.clip(out["mv_z_hat"], -32768,
+                                       32767).astype(jnp.int16)
             return out
 
         def stage1_fn(p, mv_z_hat, dpb):
-            s, carry = model.apply(p, mv_z_hat, dpb,
+            s, carry = model.apply(p, mv_z_hat.astype(jnp.float32), dpb,
                                    method="decompress_stage1")
-            return gauss.build_indexes(s), carry
+            return idx_u8(s), carry
 
         def stage2_fn(p, mv_y_q_r_0, carry):
-            s, carry2 = model.apply(p, mv_y_q_r_0, carry,
+            s, carry2 = model.apply(p, mv_y_q_r_0.astype(jnp.float32), carry,
                                     method="decompress_stage2")
-            return gauss.build_indexes(s), carry2
+            return idx_u8(s), carry2
 
         def stage3_fn(p, mv_y_q_r_1, carry, z_hat, dpb, mv_q, is_first_p):
             s, carry2, contexts = model.apply(
-                p, mv_y_q_r_1, carry, z_hat, dpb, mv_q, is_first_p,
+                p, mv_y_q_r_1.astype(jnp.float32), carry,
+                z_hat.astype(jnp.float32), dpb, mv_q, is_first_p,
                 method="decompress_stage3")
-            return gauss.build_indexes(s), carry2, contexts
+            return idx_u8(s), carry2, contexts
 
         def stage5_fn(p, y_q_r_0, carry):
-            s, carry2 = model.apply(p, y_q_r_0, carry,
+            s, carry2 = model.apply(p, y_q_r_0.astype(jnp.float32), carry,
                                     method="decompress_stage5")
-            return gauss.build_indexes(s), carry2
+            return idx_u8(s), carry2
 
         def stage6_fn(p, y_q_r_1, carry, contexts, y_q):
-            return model.apply(p, y_q_r_1, carry, contexts, y_q,
-                               method="decompress_stage6")
+            return model.apply(p, y_q_r_1.astype(jnp.float32), carry,
+                               contexts, y_q, method="decompress_stage6")
 
         self._compress = jax.jit(compress_fn, static_argnums=(5,))
         self._stage1 = jax.jit(stage1_fn)
@@ -172,29 +185,31 @@ class VideoCodec:
         z_shape = (1, zh, zw, self.model.channel_N)
         z_idx = be.build_indexes(z_shape)
 
+        def up(symbols):
+            # upload decoded symbols as int16 (4x less tunnel traffic); the
+            # device stages cast to f32
+            return jnp.asarray(np.asarray(symbols, np.int16))
+
         self.coder.set_stream(stream)
         mv_z_hat = self.coder.decode_stream(z_idx, self.z_mv_table)
 
-        idx0, carry = self._stage1(
-            self.params, jnp.asarray(mv_z_hat, jnp.float32), dpb)
+        idx0, carry = self._stage1(self.params, up(mv_z_hat), dpb)
         mv_y_q_r_0 = self.coder.decode_stream(np.asarray(idx0), self.y_table)
 
-        idx1, carry = self._stage2(
-            self.params, jnp.asarray(mv_y_q_r_0, jnp.float32), carry)
+        idx1, carry = self._stage2(self.params, up(mv_y_q_r_0), carry)
         mv_y_q_r_1 = self.coder.decode_stream(np.asarray(idx1), self.y_table)
         z_hat = self.coder.decode_stream(z_idx, self.z_table)
 
         idx_y0, carry, contexts = self._stage3(
-            self.params, jnp.asarray(mv_y_q_r_1, jnp.float32), carry,
-            jnp.asarray(z_hat, jnp.float32), dpb, mv_y_q_scale, is_first_p)
+            self.params, up(mv_y_q_r_1), carry, up(z_hat), dpb,
+            mv_y_q_scale, is_first_p)
         y_q_r_0 = self.coder.decode_stream(np.asarray(idx_y0), self.y_table)
 
-        idx_y1, carry = self._stage5(
-            self.params, jnp.asarray(y_q_r_0, jnp.float32), carry)
+        idx_y1, carry = self._stage5(self.params, up(y_q_r_0), carry)
         y_q_r_1 = self.coder.decode_stream(np.asarray(idx_y1), self.y_table)
 
-        return self._stage6(self.params, jnp.asarray(y_q_r_1, jnp.float32),
-                            carry, contexts, y_q_scale)
+        return self._stage6(self.params, up(y_q_r_1), carry, contexts,
+                            y_q_scale)
 
     # ----------------------------------------------------------- encode+decode
     def encode_decode(self, x, dpb, output_path=None, pic_width=None,
@@ -246,25 +261,33 @@ class IntraCodec:
 
         gauss = self.gaussian
 
+        def idx_u8(scales):
+            return gauss.build_indexes(scales).astype(jnp.uint8)
+
         def compress_fn(p, x, q_scale):
             out = model.apply(p, x, q_scale, method="compress_device")
-            out["idx_w_0"] = gauss.build_indexes(out.pop("scales_w_0"))
-            out["idx_w_1"] = gauss.build_indexes(out.pop("scales_w_1"))
+            out["idx_w_0"] = idx_u8(out.pop("scales_w_0"))
+            out["idx_w_1"] = idx_u8(out.pop("scales_w_1"))
+            for k in ("z_hat", "y_q_w_0", "y_q_w_1"):
+                out[k] = jnp.clip(out[k], -32768, 32767).astype(jnp.int16)
             return out
 
         def stage1_fn(p, z_hat, q_scale):
             scales_r_0, carry = model.apply(
-                p, z_hat, q_scale, method="decompress_stage1")
-            return gauss.build_indexes(scales_r_0), carry
+                p, z_hat.astype(jnp.float32), q_scale,
+                method="decompress_stage1")
+            return idx_u8(scales_r_0), carry
 
         def stage2_fn(p, y_q_r_0, carry):
             scales_r_1, carry2 = model.apply(
-                p, y_q_r_0, carry, method="decompress_stage2")
-            return gauss.build_indexes(scales_r_1), carry2
+                p, y_q_r_0.astype(jnp.float32), carry,
+                method="decompress_stage2")
+            return idx_u8(scales_r_1), carry2
 
         def stage3_fn(p, y_q_r_1, carry, q_scale):
             return model.apply(
-                p, y_q_r_1, carry, q_scale, method="decompress_stage3")
+                p, y_q_r_1.astype(jnp.float32), carry, q_scale,
+                method="decompress_stage3")
 
         self._compress = jax.jit(compress_fn)
         self._stage1 = jax.jit(stage1_fn)
@@ -312,15 +335,15 @@ class IntraCodec:
         z_idx = be.build_indexes(z_shape)
 
         self.coder.set_stream(stream)
-        z_hat = self.coder.decode_stream(z_idx, self.z_table).astype(np.float32)
+        z_hat = self.coder.decode_stream(z_idx, self.z_table).astype(np.int16)
 
         idx0, carry = self._stage1(self.params, jnp.asarray(z_hat), q_scale)
         y_q_r_0 = self.coder.decode_stream(
-            np.asarray(idx0), self.y_table).astype(np.float32)
+            np.asarray(idx0), self.y_table).astype(np.int16)
 
         idx1, carry2 = self._stage2(self.params, jnp.asarray(y_q_r_0), carry)
         y_q_r_1 = self.coder.decode_stream(
-            np.asarray(idx1), self.y_table).astype(np.float32)
+            np.asarray(idx1), self.y_table).astype(np.int16)
 
         x_hat = self._stage3(self.params, jnp.asarray(y_q_r_1), carry2, q_scale)
         return x_hat
