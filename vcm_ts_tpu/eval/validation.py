@@ -94,13 +94,20 @@ def eval_object_detection(model, params, cfg, lambdas, od_loader,
     decoded frames; mAP per rate anchor."""
     from .detection_metrics import MeanAveragePrecision
 
+    from functools import partial
+
     n = len(lambdas)
     maps = [MeanAveragePrecision() for _ in range(n)]
     dpbs = [None] * n
+    first_p = False  # True exactly for the first chained frame after a rekey
 
-    @jax.jit
-    def simple_forward(params, x, dpb, mv_q, y_q):
-        out = model.apply(params, x, dpb, mv_q, y_q, False, training=False)
+    @partial(jax.jit, static_argnums=(5,))
+    def simple_forward(params, x, dpb, mv_q, y_q, is_first_p):
+        # The first P-frame after a GOP rekey must use the I-frame feature
+        # adaptor — the reference infers this from ref_feature being None
+        # (video_model.py:226-231); our dense DPB needs the explicit flag.
+        out = model.apply(params, x, dpb, mv_q, y_q, is_first_p,
+                          training=False)
         return out["dpb"]
 
     mv_qs = params["params"]["mv_y_q_scale"]
@@ -117,9 +124,11 @@ def eval_object_detection(model, params, cfg, lambdas, od_loader,
                 decoded = dpbs[r]["ref_frame"]
             else:
                 dpbs[r] = simple_forward(params, x, dpbs[r],
-                                         mv_qs[r:r + 1], y_qs[r:r + 1])
+                                         mv_qs[r:r + 1], y_qs[r:r + 1],
+                                         first_p)
                 decoded = dpbs[r]["ref_frame"]
             preds = detector_fn(np.asarray(jnp.clip(decoded, 0, 1)))
             maps[r].update(preds, annotations[0])
+        first_p = rekey
 
     return np.asarray([m.compute()["map"] for m in maps])

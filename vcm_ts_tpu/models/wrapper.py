@@ -106,7 +106,7 @@ class DCVC_HEM:
                                       forward_method, p_frames, t_i,
                                       is_first_p)
         if forward_method == "forward_simple":
-            return self.forward_simple(input, dpb)
+            return self.forward_simple(input, dpb, is_first_p=is_first_p)
         raise ValueError(f"unknown forward method: {forward_method}")
 
     __call__ = forward
@@ -245,15 +245,21 @@ class DCVC_HEM:
                 "p_dist": jnp.mean(jnp.stack(p_dists, -1), -1),
                 "dpb": cur}
 
-    def forward_simple(self, inputs, dpbs):
+    def forward_simple(self, inputs, dpbs, is_first_p=False):
         """Per-rate DPB chaining (dcvc_hem.py:589-603): inputs (N, H, W, C),
-        dpbs a list of per-rate DPBs."""
+        dpbs a list of per-rate DPBs.
+
+        is_first_p must be True for the first chained P-frame after a GOP
+        rekey: the reference infers the I-frame feature adaptor from
+        `ref_feature is None` (video_model.py:226-231); our dense DPB makes
+        that state explicit via the flag.
+        """
         mv_qs = self.params["params"]["mv_y_q_scale"]
         y_qs = self.params["params"]["y_q_scale"]
         out = []
         for i, dpb in enumerate(dpbs):
             res = self.dmc.apply(self.params, jnp.asarray(inputs[i:i + 1]),
-                                 dpb, mv_qs[i:i + 1], y_qs[i:i + 1], False,
-                                 training=False)
+                                 dpb, mv_qs[i:i + 1], y_qs[i:i + 1],
+                                 is_first_p, training=False)
             out.append(res["dpb"])
         return out
