@@ -35,6 +35,9 @@ from vcm_ts_tpu.codec.png_io import PNGReader
 from vcm_ts_tpu.eval.detection_metrics import MeanAveragePrecision
 from vcm_ts_tpu.eval.text_metrics import calculate_ocr_metrics
 
+# Plot-label strings and line styles reproduced verbatim from the reference
+# (reference/benchmark_plot.py:27-57): output-compatibility constants so
+# plots from either framework are directly comparable, incl. the RU locale.
 labels = {
     "en": {
         "orig_performance": "Original performance ({0:.2f}%)",

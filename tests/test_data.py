@@ -6,9 +6,9 @@ import numpy as np
 import pytest
 
 from vcm_ts_tpu.data import make_data_loader
-from vcm_ts_tpu.data.transforms import (CentralCrop, ConvertColor,
-                                        MakeDivisibleBy, RandomCrop,
-                                        make_array_divisible_by)
+from vcm_ts_tpu.data.transforms import (center_crop, pad_to_multiple,
+                                        random_crop, reverse_channels,
+                                        to_unit_float)
 from vcm_ts_tpu.train.config import default_training_cfg
 
 cv = pytest.importorskip("cv2")
@@ -78,27 +78,37 @@ def test_rank_sharding_disjoint(video_root):
     assert set(b0).isdisjoint(set(b1))
 
 
-def test_make_divisible_by_pads_zero():
+def test_pad_to_multiple_pads_zero():
     x = np.ones((2, 5, 7, 3), np.float32)
-    out = make_array_divisible_by(x, 8)
+    out = pad_to_multiple(x, 8)
     assert out.shape == (2, 8, 8, 3)
     assert out[:, 5:, :, :].max() == 0.0
-
-    t = MakeDivisibleBy(8)
-    a, b, _, _ = t(x, x.copy())
-    assert a.shape == (2, 8, 8, 3)
+    # already-aligned input is returned unchanged
+    assert pad_to_multiple(out, 8) is out
 
 
 def test_color_and_crops():
     x = np.zeros((1, 8, 8, 3), np.float32)
     x[..., 0] = 1.0  # B channel
-    out, _, _, _ = ConvertColor("BGR", "RGB")(x, x.copy())
+    out = reverse_channels()({"inputs": x})["inputs"]
     assert out[..., 2].max() == 1.0 and out[..., 0].max() == 0.0
 
-    rc = RandomCrop(4, 4, 1.0, rng=np.random.default_rng(0))
-    a, b, _, _ = rc(np.ones((2, 8, 8, 3)), np.ones((2, 8, 8, 3)))
-    assert a.shape == (2, 4, 4, 3)
+    # ramp image: both streams must get the SAME random window
+    ramp = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    rc = random_crop(4, 4, rng=np.random.default_rng(0))
+    out = rc({"inputs": ramp, "targets": ramp.copy()})
+    assert out["inputs"].shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(out["inputs"], out["targets"])
 
-    cc = CentralCrop(4, 4, 1.0)
-    a, b, _, _ = cc(np.ones((2, 8, 8, 3)), np.ones((2, 8, 8, 3)))
-    assert a.shape == (2, 4, 4, 3)
+    out = center_crop(4, 4)({"inputs": ramp})["inputs"]
+    assert out.shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(out, ramp[:, 2:6, 2:6, :])
+
+
+def test_to_unit_float_scales_named_streams_only():
+    x = np.full((1, 4, 4, 3), 255, np.uint8)
+    m = np.full((1, 4, 4, 1), 255, np.uint8)
+    out = to_unit_float()({"inputs": x, "masks": m})
+    assert out["inputs"].dtype == np.float32
+    assert out["inputs"].max() == 1.0
+    assert out["masks"].max() == 255.0  # masks keep 0-255 range

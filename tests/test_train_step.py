@@ -149,3 +149,63 @@ def test_cascade_strategy_runs_and_improves():
     np.testing.assert_array_equal(
         np.asarray(p["params"]["contextual_decoder"]["up1"]["0"]["kernel"]),
         frozen_before)
+
+
+def test_cascade_scan_matches_unrolled():
+    """The lax.scan cascade chain must produce the same loss, aux, and
+    parameter update as a frame-by-frame Python unroll with the same
+    split-per-frame key schedule (SURVEY.md section 7 design decision 1)."""
+    import optax
+
+    model, params = tiny_model_and_params()
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 0.5 if path[-1].key == "kernel" else x, params)
+    stage = _stage(forward_method="cascade", p_frames=3,
+                   trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    lambdas = [85.0, 170.0]
+    tx, opt_state = make_stage_optimizer(params, stage.trainable_mode, 1e-4)
+    step = ts.make_cascade_step(model, tx, stage, lambdas=lambdas,
+                                dist_lambda=1.0, pl_lambda=0.0)
+
+    seqs = _sequences(t=4, seed=3)
+    xs = jnp.stack([jnp.asarray(seqs[:, 1 + k]) for k in range(3)])
+    dpb0 = make_dpb(jnp.asarray(seqs[:, 0]), 16, 24)
+    rng = jax.random.PRNGKey(9)
+
+    def unrolled_chain(params, xs, targets, dpb, rng):
+        lam = jnp.asarray(lambdas, jnp.float32)
+        losses, auxes = [], []
+        for p_idx in range(3):
+            rng, sub = jax.random.split(rng)
+            _, (aux, dpb) = ts.frame_loss(
+                params, model, xs[p_idx], targets[p_idx], dpb,
+                lambdas=lam, dist_lambda=1.0, pl_lambda=0.0,
+                loss_rate_keys=stage.loss_rate_keys,
+                loss_dist_key=stage.loss_dist_key, pl_fn=None,
+                noise_rng=sub, is_first_p=(p_idx == 0))
+            losses.append(aux.loss)
+            auxes.append(aux)
+        mean_aux = jax.tree_util.tree_map(
+            lambda *v: jnp.mean(jnp.stack(v), axis=0), *auxes)
+        return jnp.mean(jnp.stack(losses)), (mean_aux, dpb)
+
+    @jax.jit
+    def unrolled_step(params, opt_state, xs, targets, dpb0, rng):
+        (_, (aux, dpb)), grads = jax.value_and_grad(
+            unrolled_chain, has_aux=True)(params, xs, targets, dpb0, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), aux
+
+    p_scan, _, aux_scan, _ = step(params, opt_state, xs, xs,
+                                  make_dpb(jnp.asarray(seqs[:, 0]), 16, 24),
+                                  rng)
+    p_ref, aux_ref = unrolled_step(params, opt_state, xs, xs, dpb0, rng)
+
+    np.testing.assert_allclose(np.asarray(aux_scan.loss),
+                               np.asarray(aux_ref.loss), rtol=1e-5, atol=1e-7)
+    k_scan = np.asarray(
+        p_scan["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+    k_ref = np.asarray(
+        p_ref["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k_scan, k_ref, rtol=1e-5, atol=1e-8)

@@ -65,7 +65,10 @@ def main():
     params = model.init(jax.random.PRNGKey(args.seed), x0,
                         make_dpb(x0, cn, cm), 1.0, 1.0, method="init_all")
 
-    checkpointer = CheckPointer(cfg.OUTPUT_DIR if rank == 0 else "", logger)
+    # Every rank reads checkpoints (initial params must agree on all
+    # processes before mesh replication); only rank 0 writes — do_train
+    # guards saves with is_main.
+    checkpointer = CheckPointer(cfg.OUTPUT_DIR, logger)
     start_epoch = 0
     if cfg.MODEL.PRETRAINED_WEIGHTS or checkpointer.has_checkpoint():
         params, _, extra = checkpointer.load(
@@ -79,10 +82,17 @@ def main():
     test_loader = (make_data_loader(cfg, args.seed, is_train=False)
                    if (rank == 0 and cfg.DATASET.TEST_ROOT_DIRS) else None)
 
+    # Global DP mesh over every device of every process: local loader rows
+    # become each process's slice of one sharded global batch; gradients
+    # all-reduce over ICI/DCN via XLA (the reference's NCCL DDP allreduce,
+    # core/engine/train_multi.py:203-268). The seed must be identical on
+    # every process — the jitted step's scalar inputs must agree globally.
+    mesh = pm.make_global_mesh()
+
     do_train(cfg, model, params, train_loader, checkpointer,
-             start_epoch=start_epoch, seed=args.seed + rank,
+             start_epoch=start_epoch, seed=args.seed,
              test_loader=test_loader, world_size=world_size,
-             is_main=(rank == 0))
+             is_main=(rank == 0), mesh=mesh)
 
 
 if __name__ == "__main__":

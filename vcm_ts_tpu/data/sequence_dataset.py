@@ -14,9 +14,9 @@ from glob import glob
 
 import numpy as np
 
-from .transforms import (CentralCrop, Clip, ConvertColor, ConvertFromInts,
-                         MakeDivisibleBy, Normalize, RandomCrop, ToTensor,
-                         TransformCompose)
+from .transforms import (Pipeline, center_crop, pad_streams_to_multiple,
+                         random_crop, reverse_channels, to_float32,
+                         to_unit_float)
 
 try:
     import cv2 as cv
@@ -68,19 +68,14 @@ class SequenceDataset:
 
     def build_transforms(self, img_size, div_by=1, is_train=True,
                          to_tensor=True, rng=None):
-        if is_train:
-            transform = [RandomCrop(img_size[0], img_size[1], 1.0, rng=rng)]
-        else:
-            transform = [CentralCrop(img_size[0], img_size[1], 1.0)]
-        transform += [
-            MakeDivisibleBy(div_by),
-            ConvertColor("BGR", "RGB"),
-            ConvertFromInts(),
-            Clip(),
-        ]
-        if to_tensor:
-            transform += [Normalize(False, False), ToTensor()]
-        return TransformCompose(transform)
+        crop = (random_crop(img_size[0], img_size[1], rng=rng) if is_train
+                else center_crop(img_size[0], img_size[1]))
+        return Pipeline(
+            crop,
+            pad_streams_to_multiple(div_by),
+            reverse_channels(),
+            to_unit_float() if to_tensor else to_float32(),
+        )
 
     def __getitem__(self, idx):
         seq_path = self.sequences[idx]
@@ -89,10 +84,9 @@ class SequenceDataset:
         input_paths = input_paths[: self.seq_stride * self.seq_length:
                                   self.seq_stride]
         inputs = np.stack([_imread(p) for p in input_paths], axis=0)
-        targets = inputs.copy()
-        if self.transforms:
-            inputs, targets, _, _ = self.transforms(inputs, targets)
-        return inputs, targets  # (T, H, W, C) float32 RGB in [0,1]
+        out = self.transforms(inputs=inputs, targets=inputs.copy())
+        # (T, H, W, C) float32 RGB in [0,1]
+        return out["inputs"], out["targets"]
 
 
 class ObjectDetectionDataset:
@@ -108,14 +102,11 @@ class ObjectDetectionDataset:
         assert len(images) == len(annotations)
         self.image_infos = [{"image": i, "annotation": a}
                             for i, a in zip(images, annotations)]
-        self.transforms = TransformCompose([
-            MakeDivisibleBy(self.divisible_by),
-            ConvertColor("BGR", "RGB"),
-            ConvertFromInts(),
-            Clip(),
-            Normalize(False, False),
-            ToTensor(),
-        ])
+        self.transforms = Pipeline(
+            pad_streams_to_multiple(self.divisible_by),
+            reverse_channels(),
+            to_unit_float(),
+        )
 
     def __len__(self):
         return len(self.image_infos)
@@ -137,5 +128,5 @@ class ObjectDetectionDataset:
         info = self.image_infos[idx]
         image = _imread(info["image"])[None]  # (1, H, W, C)
         annotation = self.read_object_detection(info["annotation"])
-        image, _, _, _ = self.transforms(image, image.copy())
+        image = self.transforms(inputs=image)["inputs"]
         return image, annotation

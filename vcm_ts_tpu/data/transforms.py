@@ -1,159 +1,130 @@
-"""Data transforms over (inputs, targets, masks, resids) 4-tuples.
+"""Frame-stack preprocessing as a functional numpy pipeline.
 
-Numpy/NHWC-native equivalents of the reference transform stack
-(core/data/transforms/transforms.py:8-149, functional.py:4-17). The only
-deliberate difference: ToTensor keeps (T, H, W, C) float32 — channels-last is
-the TPU-native layout, so no permute to TCHW happens anywhere.
+Capability parity with the reference transform stack
+(core/data/transforms/transforms.py:8-149): crop, pad-to-multiple,
+BGR<->RGB, clip, scale-to-unit — redesigned as pure functions over a dict of
+named (T, H, W, C) frame stacks instead of positional 4-tuples of torch
+tensors. Frames stay channels-last float32 end-to-end (the TPU-native
+layout), so the reference's THWC->TCHW permute has no counterpart here.
+
+A step is any callable `dict[str, ndarray] -> dict[str, ndarray]`; `Pipeline`
+composes them. Geometric steps (crops, padding) apply one window to every
+stream so pixel alignment between inputs/targets/masks/residuals is
+preserved by construction.
 """
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 import numpy as np
 
 
-class TransformCompose:
-    def __init__(self, transforms):
-        self.transforms = transforms
+class Pipeline:
+    """Compose (streams -> streams) steps; call with keyword streams.
 
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        for t in self.transforms:
-            inputs, targets, masks, resids = t(inputs, targets, masks, resids)
-        return (inputs, targets,
-                0 if masks is None else masks,
-                0 if resids is None else resids)
+    >>> pipe = Pipeline(center_crop(256, 256), to_unit_float())
+    >>> out = pipe(inputs=frames, targets=frames.copy())
+    """
 
+    def __init__(self, *steps):
+        self.steps = [s for s in steps if s is not None]
 
-class ConvertFromInts:
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        inputs = inputs.astype(np.float32)
-        targets = targets.astype(np.float32)
-        if masks is not None:
-            masks = masks.astype(np.float32)
-        if resids is not None:
-            resids = resids.astype(np.float32)
-        return inputs, targets, masks, resids
+    def __call__(self, **streams):
+        streams = {k: v for k, v in streams.items() if v is not None}
+        for step in self.steps:
+            streams = step(streams)
+        return streams
 
 
-class Clip:
-    def __init__(self, vmin: float = 0.0, vmax: float = 255.0):
-        assert vmax >= vmin
-        self.vmin, self.vmax = vmin, vmax
-
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        return (np.clip(inputs, self.vmin, self.vmax),
-                np.clip(targets, self.vmin, self.vmax), masks, resids)
+def _spatial_shape(streams):
+    shapes = {v.shape[-3:-1] for v in streams.values()}
+    if len(shapes) != 1:
+        raise ValueError(f"streams disagree on spatial shape: {shapes}")
+    return shapes.pop()
 
 
-class Normalize:
-    def __init__(self, norm_mask: bool = True, norm_resids: bool = True):
-        self.norm_mask = norm_mask
-        self.norm_resids = norm_resids
-
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        inputs = inputs.astype(np.float32) / 255.0
-        targets = targets.astype(np.float32) / 255.0
-        if masks is not None and self.norm_mask:
-            masks = masks.astype(np.float32) / 255.0
-        if resids is not None and self.norm_resids:
-            resids = resids.astype(np.float32) / 255.0
-        return inputs, targets, masks, resids
+def _crop_all(streams, y0, x0, h, w):
+    return {k: v[..., y0:y0 + h, x0:x0 + w, :] for k, v in streams.items()}
 
 
-class ToTensor:
-    """Finalizes to float32 (T, H, W, C) — NHWC stays native on TPU."""
+def random_crop(width: int, height: int,
+                rng: Optional[np.random.Generator] = None):
+    """Same random (height, width) window from every stream (train path)."""
+    gen = rng if rng is not None else np.random.default_rng()
 
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        inputs = np.ascontiguousarray(inputs, dtype=np.float32)
-        targets = np.ascontiguousarray(targets, dtype=np.float32)
-        if masks is not None:
-            masks = np.ascontiguousarray(masks, dtype=np.float32)
-        if resids is not None:
-            resids = np.ascontiguousarray(resids, dtype=np.float32)
-        return inputs, targets, masks, resids
+    def step(streams):
+        h, w = _spatial_shape(streams)
+        if h < height or w < width:
+            raise ValueError(f"frames {h}x{w} smaller than "
+                             f"crop {height}x{width}")
+        y0 = int(gen.integers(0, h - height + 1))
+        x0 = int(gen.integers(0, w - width + 1))
+        return _crop_all(streams, y0, x0, height, width)
 
-
-def make_array_divisible_by(image: np.ndarray, div_factor: int):
-    if image.ndim not in (3, 4):
-        raise ValueError("Expected a 3D or 4D array as input")
-    height, width = image.shape[-3:-1]
-    rows = height // div_factor + (1 if height % div_factor else 0)
-    cols = width // div_factor + (1 if width % div_factor else 0)
-    padding = [(0, rows * div_factor - height),
-               (0, cols * div_factor - width), (0, 0)]
-    if image.ndim == 4:
-        padding.insert(0, (0, 0))
-    return np.pad(image, padding, mode="constant", constant_values=0)
+    return step
 
 
-class MakeDivisibleBy:
-    def __init__(self, factor: int):
-        self.factor = factor
+def center_crop(width: int, height: int):
+    """Central (height, width) window from every stream (eval path)."""
 
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        inputs = make_array_divisible_by(inputs, self.factor)
-        targets = make_array_divisible_by(targets, self.factor)
-        if masks is not None:
-            masks = make_array_divisible_by(masks, self.factor)
-        if resids is not None:
-            resids = make_array_divisible_by(resids, self.factor)
-        return inputs, targets, masks, resids
+    def step(streams):
+        h, w = _spatial_shape(streams)
+        if h < height or w < width:
+            raise ValueError(f"frames {h}x{w} smaller than "
+                             f"crop {height}x{width}")
+        return _crop_all(streams, (h - height) // 2, (w - width) // 2,
+                         height, width)
 
-
-class ConvertColor:
-    """BGR<->RGB over (T, H, W, C) stacks."""
-
-    def __init__(self, current: str, transform: str):
-        if {current, transform} != {"BGR", "RGB"}:
-            raise NotImplementedError
-        self.current, self.transform = current, transform
-
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        inputs = inputs[..., ::-1].copy()
-        targets = targets[..., ::-1].copy()
-        return inputs, targets, masks, resids
+    return step
 
 
-class RandomCrop:
-    def __init__(self, w: int, h: int, probability: float = 0.5,
-                 rng: np.random.Generator | None = None):
-        assert w > 0 and h > 0
-        self.crop_w, self.crop_h = w, h
-        self.p = float(np.clip(probability, 0.0, 1.0))
-        self.rng = rng or np.random.default_rng()
-
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        if self.rng.random() < self.p:
-            _, h, w, _ = inputs.shape
-            assert h >= self.crop_h and w >= self.crop_w, \
-                "Image size must not be smaller than crop size"
-            crop_x = int(self.rng.random() * (w - self.crop_w))
-            crop_y = int(self.rng.random() * (h - self.crop_h))
-            inputs = inputs[:, crop_y:crop_y + self.crop_h,
-                            crop_x:crop_x + self.crop_w, :]
-            targets = targets[:, crop_y:crop_y + self.crop_h,
-                              crop_x:crop_x + self.crop_w, :]
-            assert masks is None and resids is None, \
-                "Cropping for masks/resids not implemented"
-        return inputs, targets, masks, resids
+def pad_to_multiple(stack: np.ndarray, factor: int) -> np.ndarray:
+    """Zero-pad H and W (bottom/right) up to the next multiple of `factor`
+    — the codec's downsampling stack needs stride-aligned extents."""
+    if stack.ndim not in (3, 4):
+        raise ValueError(f"expected (T,)H,W,C array, got ndim={stack.ndim}")
+    h, w = stack.shape[-3], stack.shape[-2]
+    ph, pw = -h % factor, -w % factor
+    if not (ph or pw):
+        return stack
+    pad = [(0, 0)] * stack.ndim
+    pad[-3], pad[-2] = (0, ph), (0, pw)
+    return np.pad(stack, pad)
 
 
-class CentralCrop:
-    def __init__(self, w: int, h: int, probability: float = 0.5):
-        assert w > 0 and h > 0
-        self.crop_w, self.crop_h = w, h
-        self.p = float(np.clip(probability, 0.0, 1.0))
+def pad_streams_to_multiple(factor: int):
+    def step(streams):
+        return {k: pad_to_multiple(v, factor) for k, v in streams.items()}
 
-    def __call__(self, inputs, targets, masks=None, resids=None):
-        if self.p >= 1.0 or np.random.random() < self.p:
-            _, h, w, _ = inputs.shape
-            crop_x = (w - self.crop_w) // 2
-            crop_y = (h - self.crop_h) // 2
-            assert crop_x >= 0 and crop_y >= 0, \
-                "Image size must not be smaller than crop size"
-            inputs = inputs[:, crop_y:crop_y + self.crop_h,
-                            crop_x:crop_x + self.crop_w, :]
-            targets = targets[:, crop_y:crop_y + self.crop_h,
-                              crop_x:crop_x + self.crop_w, :]
-            assert masks is None and resids is None, \
-                "Cropping for masks/resids not implemented"
-        return inputs, targets, masks, resids
+    return step
+
+
+def reverse_channels():
+    """BGR <-> RGB (cv2 decodes BGR; the models consume RGB)."""
+
+    def step(streams):
+        return {k: np.ascontiguousarray(v[..., ::-1])
+                for k, v in streams.items()}
+
+    return step
+
+
+def to_unit_float(scaled: Sequence[str] = ("inputs", "targets")):
+    """Cast to float32 clipped to [0, 255]; streams named in `scaled` are
+    additionally mapped to [0, 1] (masks/residuals typically stay 0-255)."""
+    scaled = frozenset(scaled)
+
+    def step(streams):
+        out = {}
+        for k, v in streams.items():
+            v = np.clip(np.asarray(v, np.float32), 0.0, 255.0)
+            out[k] = v / 255.0 if k in scaled else v
+        return out
+
+    return step
+
+
+def to_float32():
+    """Cast to float32 clipped to [0, 255] without rescaling."""
+    return to_unit_float(scaled=())

@@ -53,6 +53,39 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_global_mesh(axis: str = "data") -> Mesh:
+    """Mesh over ALL devices of ALL processes — the multi-host DP mesh.
+
+    Must be built identically on every process (jax.devices() already
+    returns the globally-consistent device list after
+    jax.distributed.initialize)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def global_batch(local, mesh: Mesh, axis: str = "data", batch_dim: int = 0):
+    """Assemble per-process local batches into one global jax.Array sharded
+    over `axis` (row-concatenated in process order) — the TPU-native
+    equivalent of DistributedSampler + DDP's implicit scatter
+    (core/data/__init__.py:26, train_multi.py:203-268).
+
+    Every process passes its own local rows; the result is a single global
+    array the jitted train step consumes; XLA derives the gradient
+    all-reduce from the mean-loss structure. batch_dim selects which array
+    dimension is the sharded batch axis (cascade chains use dim 1)."""
+    spec = P(*([None] * batch_dim + [axis]))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local)
+
+
+def host_copy(tree):
+    """Fetch fully-replicated global arrays to host numpy (for rank-0-only
+    eval/checkpointing, the reference's rank-0 .module unwrap)."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), tree)
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -42,19 +42,42 @@ def do_train(cfg, model, params, data_loader, checkpointer,
              test_loader=None, i_frame_fn=None, pl_fn=None,
              world_size: int = 1, is_main: bool = True,
              writer: Optional[MetricWriter] = None,
-             max_iterations_per_epoch: Optional[int] = None):
-    """Runs the full stage curriculum; returns final params."""
+             max_iterations_per_epoch: Optional[int] = None,
+             mesh=None):
+    """Runs the full stage curriculum; returns final params.
+
+    With `mesh` (a jax.sharding.Mesh with a "data" axis, possibly spanning
+    multiple processes), training is mesh-data-parallel: params/opt_state
+    are replicated onto the mesh, each process's loader batch becomes its
+    slice of one global sharded batch, and the gradient all-reduce is
+    XLA-derived — the reference's DDP (train_multi.py:203-268) with no
+    explicit collectives. The PRNG seed must then be identical on all
+    processes (the jitted step's inputs must agree globally)."""
+    from functools import partial
+
     logger = logging.getLogger("CORE")
     max_epoch = calc_max_epoch(cfg.SOLVER.STAGES)
     lambdas = [float(v) for v in cfg.SOLVER.LAMBDAS]
     # lr scaling by sqrt(world_size), reference train_multi.py:158-160
     lr_scale = float(np.sqrt(world_size))
 
+    multiprocess = mesh is not None and jax.process_count() > 1
+    if mesh is not None:
+        from ..parallel import mesh as pm
+        to_device = partial(pm.global_batch, mesh=mesh)
+        to_device_seq = partial(pm.global_batch, mesh=mesh, batch_dim=1)
+    else:
+        pm = None
+        to_device, to_device_seq = jnp.asarray, jnp.asarray
+
     if writer is None and is_main:
         writer = MetricWriter(cfg.OUTPUT_DIR)
     tracker = None
-    if is_main and (cfg.TENSORBOARD.BEST_SAMPLES_NUM > 0
-                    or cfg.TENSORBOARD.WORST_SAMPLES_NUM > 0):
+    # the sample tracker reads decoded frames host-side; with a
+    # process-spanning mesh those rows are not all addressable locally
+    if (is_main and not multiprocess
+            and (cfg.TENSORBOARD.BEST_SAMPLES_NUM > 0
+                 or cfg.TENSORBOARD.WORST_SAMPLES_NUM > 0)):
         tracker = BestWorstSampleTracker(
             lambdas, cfg.TENSORBOARD.BEST_SAMPLES_NUM,
             cfg.TENSORBOARD.WORST_SAMPLES_NUM)
@@ -71,6 +94,9 @@ def do_train(cfg, model, params, data_loader, checkpointer,
             logger.info("Entering stage %d: %s", stage.stage, stage)
             tx, opt_state = make_stage_optimizer(
                 params, stage.trainable_mode, stage.lr * lr_scale)
+            if mesh is not None:
+                params = pm.replicate(params, mesh)
+                opt_state = pm.replicate(opt_state, mesh)
             pl = pl_fn if stage.perceptual_loss else None
             if stage.forward_method == "single":
                 step_fn = make_single_frame_step(
@@ -93,11 +119,13 @@ def do_train(cfg, model, params, data_loader, checkpointer,
             if stage.forward_method == "single":
                 params, opt_state, aux_list = run_single_sequence(
                     model, step_fn, params, opt_state, inputs, targets,
-                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb)
+                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb,
+                    to_device=to_device)
             else:
                 params, opt_state, aux_list = run_cascade_sequence(
                     model, step_fn, params, opt_state, inputs, targets,
-                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb)
+                    stage, sub, i_frame_fn=i_frame_fn, sample_cb=sample_cb,
+                    to_device=to_device, to_device_seq=to_device_seq)
             global_step += 1
             if is_main and writer is not None:
                 m = _mean_aux(aux_list)
@@ -112,15 +140,22 @@ def do_train(cfg, model, params, data_loader, checkpointer,
         if tracker is not None and writer is not None:
             tracker.write(writer, global_step)
 
-        if is_main and test_loader is not None:
-            eval_metrics = eval_dataset(
-                model, params, stage, test_loader, cfg, lambdas,
-                i_frame_fn=i_frame_fn, pl_fn=pl_fn)
-            if writer is not None:
-                writer.add_metrics("eval", eval_metrics, lambdas, global_step)
-
-        if is_main and checkpointer is not None:
-            checkpointer.save(f"model_epoch_{epoch:03d}", params, opt_state,
-                              epoch=epoch + 1)
+        if is_main and (test_loader is not None or checkpointer is not None):
+            # Rank-0-only work must not touch process-spanning arrays:
+            # replicated globals are fetched to host first (the reference's
+            # rank-0 .module unwrap, train_multi.py:515-529).
+            host_params = (pm.host_copy(params) if multiprocess else params)
+            host_opt = (pm.host_copy(opt_state) if multiprocess
+                        else opt_state)
+            if test_loader is not None:
+                eval_metrics = eval_dataset(
+                    model, host_params, stage, test_loader, cfg, lambdas,
+                    i_frame_fn=i_frame_fn, pl_fn=pl_fn)
+                if writer is not None:
+                    writer.add_metrics("eval", eval_metrics, lambdas,
+                                       global_step)
+            if checkpointer is not None:
+                checkpointer.save(f"model_epoch_{epoch:03d}", host_params,
+                                  host_opt, epoch=epoch + 1)
 
     return params

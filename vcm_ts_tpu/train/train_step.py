@@ -31,13 +31,15 @@ from ..models.dmc import make_dpb
 
 
 class FrameAux(NamedTuple):
-    loss: jnp.ndarray      # (N,)
-    rate: jnp.ndarray      # (N,)
-    dist: jnp.ndarray      # (N,)
-    p_dist: jnp.ndarray    # (N,)
-    bpp: jnp.ndarray       # (N,)
-    psnr: jnp.ndarray      # (N,)
-    me_psnr: jnp.ndarray   # (N,)
+    """Per-rate-anchor stats, shape (anchor_num,), replicated across the
+    mesh (batch rows tiled over anchors are mean-reduced inside the step)."""
+    loss: jnp.ndarray
+    rate: jnp.ndarray
+    dist: jnp.ndarray
+    p_dist: jnp.ndarray
+    bpp: jnp.ndarray
+    psnr: jnp.ndarray
+    me_psnr: jnp.ndarray
 
 
 def _psnr(mse):
@@ -78,19 +80,32 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
     eff_lambdas = lambdas if len(loss_rate_keys) else jnp.ones_like(lambdas)
     loss = rate + eff_lambdas * (dist * dist_lambda + p_dist * pl_lambda)
 
-    aux = FrameAux(loss=loss, rate=rate, dist=dist, p_dist=p_dist,
-                   bpp=out["bpp"], psnr=_psnr(out["mse"]),
-                   me_psnr=_psnr(out["me_mse"]))
+    # Aux stats are reduced per rate anchor: (k * L,) -> (L,) mean over the
+    # k tiled replicas. Under a mesh-sharded global batch this mean inserts
+    # the cross-device all-reduce, so aux comes out replicated on every
+    # process — the TPU-native form of the reference's 6x
+    # dist.gather_object metric reduction (train_multi.py:456-494).
+    n_anchors = params["params"]["mv_y_q_scale"].shape[0]
+
+    def _per_anchor(v):
+        return v.reshape(-1, n_anchors).mean(0)
+
+    aux = FrameAux(loss=_per_anchor(loss), rate=_per_anchor(rate),
+                   dist=_per_anchor(dist), p_dist=_per_anchor(p_dist),
+                   bpp=_per_anchor(out["bpp"]),
+                   psnr=_per_anchor(_psnr(out["mse"])),
+                   me_psnr=_per_anchor(_psnr(out["me_mse"])))
     return jnp.mean(loss), (aux, out["dpb"])
 
 
 def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
-                           pl_lambda, pl_fn=None, axis_name=None):
+                           pl_lambda, pl_fn=None):
     """Jitted per-frame gradient step for the 'single' strategy.
 
     Returns step(params, opt_state, x, target, dpb, rng, is_first_p) ->
-    (params, opt_state, aux, new_dpb). When axis_name is set, gradients are
-    psum-averaged across the mesh axis (DDP-equivalent)."""
+    (params, opt_state, aux, new_dpb). Mesh-polymorphic: with a data-sharded
+    global batch and replicated params, XLA derives the DDP gradient
+    all-reduce from the mean-loss structure — no explicit collective."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
 
@@ -102,12 +117,10 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
             loss_dist_key=stage.loss_dist_key,
             pl_fn=pl_fn, noise_rng=rng, is_first_p=is_first_p)
 
-    @partial(jax.jit, static_argnums=(6,))
+    @partial(jax.jit, static_argnums=(6,), donate_argnums=(4,))
     def step(params, opt_state, x, target, dpb, rng, is_first_p):
         (_, (aux, new_dpb)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, x, target, dpb, rng, is_first_p)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         new_dpb = jax.lax.stop_gradient(new_dpb)
@@ -117,37 +130,54 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
 
 
 def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
-                      pl_fn=None, axis_name=None):
+                      pl_fn=None):
     """Jitted whole-chain gradient step for the 'cascade' strategy:
     xs/targets are (p_frames, N, H, W, C); BPTT through the DPB."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
     p_frames = stage.p_frames
 
-    def chain_loss(params, xs, targets, dpb, rng):
-        losses = []
-        auxes = []
-        for p_idx in range(p_frames):
-            rng, sub = jax.random.split(rng)
-            _, (aux, dpb) = frame_loss(
-                params, model, xs[p_idx], targets[p_idx], dpb,
-                lambdas=lambdas, dist_lambda=dist_lambda,
-                pl_lambda=pl_lambda, loss_rate_keys=stage.loss_rate_keys,
-                loss_dist_key=stage.loss_dist_key, pl_fn=pl_fn,
-                noise_rng=sub, is_first_p=(p_idx == 0))
-            losses.append(aux.loss)
-            auxes.append(aux)
-        loss = jnp.mean(jnp.stack(losses))
-        mean_aux = jax.tree_util.tree_map(
-            lambda *xs_: jnp.mean(jnp.stack(xs_), axis=0), *auxes)
-        return loss, (mean_aux, dpb)
+    def one_frame(params, x, target, dpb, sub, is_first_p):
+        return frame_loss(
+            params, model, x, target, dpb, lambdas=lambdas,
+            dist_lambda=dist_lambda, pl_lambda=pl_lambda,
+            loss_rate_keys=stage.loss_rate_keys,
+            loss_dist_key=stage.loss_dist_key, pl_fn=pl_fn,
+            noise_rng=sub, is_first_p=is_first_p)
 
-    @jax.jit
+    def chain_loss(params, xs, targets, dpb, rng):
+        # same key schedule as a sequential split-per-frame unroll
+        subs = []
+        for _ in range(p_frames):
+            rng, sub = jax.random.split(rng)
+            subs.append(sub)
+
+        # frame 0 traces the I-frame feature-adaptor branch; the remaining
+        # chain is a lax.scan with the DPB as carry (SURVEY.md section 7
+        # design decision 1) — one trace of the frame body regardless of
+        # p_frames, so compile time and program size stop scaling with the
+        # GOP curriculum. BPTT through the carry is preserved (scan
+        # differentiates through the carry chain).
+        _, (aux0, dpb) = one_frame(params, xs[0], targets[0], dpb, subs[0],
+                                   is_first_p=True)
+        if p_frames > 1:
+            def body(carry, inp):
+                x, target, sub = inp
+                _, (aux, new_carry) = one_frame(params, x, target, carry,
+                                                sub, is_first_p=False)
+                return new_carry, aux
+            dpb, rest = jax.lax.scan(
+                body, dpb, (xs[1:], targets[1:], jnp.stack(subs[1:])))
+            mean_aux = jax.tree_util.tree_map(
+                lambda a0, r: (a0 + r.sum(0)) / p_frames, aux0, rest)
+        else:
+            mean_aux = aux0
+        return jnp.mean(mean_aux.loss), (mean_aux, dpb)
+
+    @partial(jax.jit, donate_argnums=(4,))
     def step(params, opt_state, xs, targets, dpb0, rng):
         (_, (aux, dpb)), grads = jax.value_and_grad(chain_loss, has_aux=True)(
             params, xs, targets, dpb0, rng)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux, jax.lax.stop_gradient(dpb)
@@ -156,22 +186,27 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
 
 
 def run_single_sequence(model, step_fn, params, opt_state, inputs, targets,
-                        stage, rng, i_frame_fn=None, sample_cb=None):
+                        stage, rng, i_frame_fn=None, sample_cb=None,
+                        to_device=jnp.asarray):
     """The reference's forward_single outer loops (dcvc_hem.py:160-238):
     for each subsequence start t_i, re-key the DPB and take `p_frames`
-    per-frame gradient steps. inputs/targets: (N, T, H, W, C) numpy/jax."""
+    per-frame gradient steps. inputs/targets: (N, T, H, W, C) numpy/jax.
+
+    to_device maps a host frame batch onto devices; multi-host training
+    passes a global-batch assembler here (parallel/mesh.py global_batch) so
+    each process contributes its local rows to one mesh-sharded array."""
     n, t = inputs.shape[0], inputs.shape[1]
     p_frames = stage.p_frames
     aux_list = []
     for t_i in range(t - p_frames):
         ref = (i_frame_fn(inputs[:, t_i]) if i_frame_fn is not None
                else inputs[:, t_i])
-        dpb = make_dpb(jnp.asarray(ref), model.channel_N, model.channel_M)
+        dpb = make_dpb(to_device(ref), model.channel_N, model.channel_M)
         for p_idx in range(p_frames):
             rng, sub = jax.random.split(rng)
             params, opt_state, aux, dpb = step_fn(
-                params, opt_state, jnp.asarray(inputs[:, t_i + 1 + p_idx]),
-                jnp.asarray(targets[:, t_i + 1 + p_idx]), dpb, sub,
+                params, opt_state, to_device(inputs[:, t_i + 1 + p_idx]),
+                to_device(targets[:, t_i + 1 + p_idx]), dpb, sub,
                 p_idx == 0)
             aux_list.append(aux)
             if sample_cb is not None:
@@ -181,20 +216,29 @@ def run_single_sequence(model, step_fn, params, opt_state, inputs, targets,
 
 
 def run_cascade_sequence(model, step_fn, params, opt_state, inputs, targets,
-                         stage, rng, i_frame_fn=None, sample_cb=None):
+                         stage, rng, i_frame_fn=None, sample_cb=None,
+                         to_device=jnp.asarray, to_device_seq=None):
     """forward_cascade outer loop (dcvc_hem.py:380-469): one whole-chain
-    gradient step per subsequence start."""
+    gradient step per subsequence start.
+
+    The (p_frames, N, H, W, C) chain stack is assembled on host so
+    to_device_seq can shard its batch axis (dim 1) in one shot — stacking
+    already-sharded global arrays eagerly is not legal multi-host."""
+    import numpy as np
+
+    if to_device_seq is None:
+        to_device_seq = to_device
     n, t = inputs.shape[0], inputs.shape[1]
     p_frames = stage.p_frames
     aux_list = []
     for t_i in range(t - p_frames):
         ref = (i_frame_fn(inputs[:, t_i]) if i_frame_fn is not None
                else inputs[:, t_i])
-        dpb = make_dpb(jnp.asarray(ref), model.channel_N, model.channel_M)
-        xs = jnp.stack([jnp.asarray(inputs[:, t_i + 1 + k])
-                        for k in range(p_frames)])
-        ts = jnp.stack([jnp.asarray(targets[:, t_i + 1 + k])
-                        for k in range(p_frames)])
+        dpb = make_dpb(to_device(ref), model.channel_N, model.channel_M)
+        xs = to_device_seq(np.stack(
+            [np.asarray(inputs[:, t_i + 1 + k]) for k in range(p_frames)]))
+        ts = to_device_seq(np.stack(
+            [np.asarray(targets[:, t_i + 1 + k]) for k in range(p_frames)]))
         rng, sub = jax.random.split(rng)
         params, opt_state, aux, dpb = step_fn(params, opt_state, xs, ts, dpb,
                                               sub)

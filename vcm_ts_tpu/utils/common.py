@@ -1,7 +1,11 @@
 """Misc codec utilities: rate-point interpolation, float-precision JSON dump,
 per-sequence metric log builder.
 
-Equivalents of DCVC_HEM/src/utils/common.py:23-112.
+Functional equivalents of DCVC_HEM/src/utils/common.py:23-112, re-derived:
+the produced JSON schema (key names, aggregation rules) is kept identical so
+downstream tools (benchmark_plot, bd_rate) can consume logs from either
+framework, but the implementations are our own (vectorized aggregation, a
+non-recursive rounding pass, a corrected `descending` spelling).
 """
 
 from __future__ import annotations
@@ -12,93 +16,101 @@ import os
 
 import numpy as np
 
+_TRUE = frozenset(("yes", "true", "t", "y", "1"))
+_FALSE = frozenset(("no", "false", "f", "n", "0"))
+
 
 def str2bool(v) -> bool:
+    """argparse type for explicit yes/no flags."""
     if isinstance(v, bool):
         return v
-    if v.lower() in ("yes", "true", "t", "y", "1"):
+    s = str(v).strip().lower()
+    if s in _TRUE:
         return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
+    if s in _FALSE:
         return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
-def interpolate_log(min_val, max_val, num, decending=True):
-    assert max_val > min_val
-    assert min_val > 0
-    if decending:
-        values = np.linspace(np.log(max_val), np.log(min_val), num)
-    else:
-        values = np.linspace(np.log(min_val), np.log(max_val), num)
-    return np.exp(values)
+def interpolate_log(min_val: float, max_val: float, num: int,
+                    descending: bool = True) -> np.ndarray:
+    """`num` points geometrically spaced over [min_val, max_val].
+
+    Rate anchors (q_scales, lambdas) are perceptually log-spaced; this is how
+    intermediate rate points are synthesized from the trained anchor range.
+    """
+    if not (0 < min_val < max_val):
+        raise ValueError(f"need 0 < min_val < max_val, got "
+                         f"[{min_val}, {max_val}]")
+    pts = np.geomspace(min_val, max_val, num)
+    return pts[::-1].copy() if descending else pts
 
 
 def scale_list_to_str(scales) -> str:
     return "".join(f"{s:.2f} " for s in scales)
 
 
-def create_folder(path, print_if_create=False):
-    if not os.path.exists(path):
-        os.makedirs(path)
-        if print_if_create:
-            print(f"created folder: {path}")
+def create_folder(path, print_if_create: bool = False) -> None:
+    existed = os.path.isdir(path)
+    os.makedirs(path, exist_ok=True)
+    if print_if_create and not existed:
+        print(f"created folder: {path}")
 
 
-def dump_json(obj, fid, float_digits=-1, **kwargs):
-    """JSON dump with fixed float precision (common.py:49-60)."""
+def _round_floats(obj, digits: int):
+    """Round every float in a JSON-ish tree."""
+    if isinstance(obj, float):
+        return round(obj, digits)
+    if isinstance(obj, dict):
+        return {k: _round_floats(v, digits) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_round_floats(v, digits) for v in obj]
+    return obj
+
+
+def dump_json(obj, fid, float_digits: int = -1, **kwargs) -> None:
+    """json.dump with optional fixed float precision (keeps log files small
+    and diffable across runs)."""
     if float_digits >= 0:
-        def roundf(o):
-            if isinstance(o, float):
-                return round(o, float_digits)
-            if isinstance(o, dict):
-                return {k: roundf(v) for k, v in o.items()}
-            if isinstance(o, (list, tuple)):
-                return [roundf(v) for v in o]
-            return o
-        obj = roundf(obj)
+        obj = _round_floats(obj, float_digits)
     json.dump(obj, fid, **kwargs)
 
 
 def generate_log_json(frame_num, frame_types, bits, psnrs, ssims,
                       frame_pixel_num, decoded=None):
-    """Per-sequence metric JSON (common.py:63-112)."""
-    i_bit = i_psnr = i_ssim = 0.0
-    p_bit = p_psnr = p_ssim = 0.0
-    i_num = p_num = 0
-    for idx in range(frame_num):
-        if frame_types[idx] == 0:
-            i_bit += bits[idx]
-            i_psnr += psnrs[idx]
-            i_ssim += ssims[idx]
-            i_num += 1
-        else:
-            p_bit += bits[idx]
-            p_psnr += psnrs[idx]
-            p_ssim += ssims[idx]
-            p_num += 1
+    """Per-sequence metric JSON with the reference schema
+    (DCVC_HEM/src/utils/common.py:63-112 — key names and I/P aggregation
+    rules must match for benchmark_plot/bd_rate interop)."""
+    types = np.asarray(frame_types[:frame_num])
+    bits_a = np.asarray(bits[:frame_num], dtype=np.float64)
+    psnr_a = np.asarray(psnrs[:frame_num], dtype=np.float64)
+    ssim_a = np.asarray(ssims[:frame_num], dtype=np.float64)
+    is_i = types == 0
+    i_num = int(is_i.sum())
+    p_num = frame_num - i_num
+
+    def _avg(arr, mask, n):
+        return float(arr[mask].sum() / n) if n else 0
 
     log = {
         "frame_pixel_num": frame_pixel_num,
         "i_frame_num": i_num,
         "p_frame_num": p_num,
-        "ave_i_frame_bpp": i_bit / i_num / frame_pixel_num,
-        "ave_i_frame_psnr": i_psnr / i_num,
-        "ave_i_frame_msssim": i_ssim / i_num,
-        "frame_bpp": list(np.array(bits) / frame_pixel_num),
+        "ave_i_frame_bpp": _avg(bits_a, is_i, i_num) / frame_pixel_num,
+        "ave_i_frame_psnr": _avg(psnr_a, is_i, i_num),
+        "ave_i_frame_msssim": _avg(ssim_a, is_i, i_num),
+        "frame_bpp": list(bits_a / frame_pixel_num),
         "frame_psnr": psnrs,
         "frame_msssim": ssims,
         "frame_type": frame_types,
+        "ave_p_frame_bpp": (_avg(bits_a, ~is_i, p_num) / frame_pixel_num
+                            if p_num else 0),
+        "ave_p_frame_psnr": _avg(psnr_a, ~is_i, p_num),
+        "ave_p_frame_msssim": _avg(ssim_a, ~is_i, p_num),
+        "ave_all_frame_bpp": float(bits_a.sum()) / (frame_num
+                                                    * frame_pixel_num),
+        "ave_all_frame_psnr": float(psnr_a.sum()) / frame_num,
+        "ave_all_frame_msssim": float(ssim_a.sum()) / frame_num,
+        "decoded": decoded,
     }
-    if p_num > 0:
-        log["ave_p_frame_bpp"] = p_bit / (p_num * frame_pixel_num)
-        log["ave_p_frame_psnr"] = p_psnr / p_num
-        log["ave_p_frame_msssim"] = p_ssim / p_num
-    else:
-        log["ave_p_frame_bpp"] = 0
-        log["ave_p_frame_psnr"] = 0
-        log["ave_p_frame_msssim"] = 0
-    log["ave_all_frame_bpp"] = (i_bit + p_bit) / (frame_num * frame_pixel_num)
-    log["ave_all_frame_psnr"] = (i_psnr + p_psnr) / frame_num
-    log["ave_all_frame_msssim"] = (i_ssim + p_ssim) / frame_num
-    log["decoded"] = decoded
     return log
