@@ -45,6 +45,11 @@ def parse_args():
     parser.add_argument("--test_config", type=str, required=True)
     parser.add_argument("--force_root_path", type=str, default=None)
     parser.add_argument("--worker", "-w", type=int, default=1)
+    parser.add_argument("--batch_rates", type=str2bool, nargs="?",
+                        const=True, default=False,
+                        help="run all rate points of a sequence through one "
+                             "batched device pass (amortizes decode round "
+                             "trips in write_stream mode)")
     parser.add_argument("--write_stream", type=str2bool, nargs="?",
                         const=True, default=False)
     parser.add_argument("--stream_path", type=str, default="out_bin")
@@ -155,6 +160,133 @@ def run_test(video_codec, i_codec, task, verbose=0):
 
     return generate_log_json(frame_num, frame_types, bits, psnrs, msssims,
                              frame_pixel_num, test_time)
+
+
+def run_test_batched(video_codec, i_codec, tasks, verbose=0):
+    """All rate points of one sequence in a single batched GOP loop.
+
+    TPU-first throughput redesign of the reference's process-pool fan-out
+    (reference test_video.py:240-261): the rate-point axis rides the batch
+    dimension of every device stage, so jit compute and — in write_stream
+    mode — every host<->device round trip of the sequential decoder is
+    amortized over all rate points at once (engine.decompress_batch).
+    Per-rate logs are identical in schema to sequential run_test calls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.models.dmc import make_dpb
+    from vcm_ts_tpu.ops.msssim import ms_ssim, psnr as psnr_fn
+
+    n = len(tasks)
+    t0 = tasks[0]
+    frame_num, gop_size = t0["frame_num"], t0["gop_size"]
+    write_stream = t0.get("write_stream", False)
+    save_decoded = t0.get("save_decoded_frame", False)
+
+    i_q = np.asarray([t["i_frame_q_scale"] for t in tasks], np.float32)
+    if write_stream:
+        i_q, i_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in i_q])
+        i_q = np.asarray(i_q, np.float32)
+    i_qs = jnp.asarray(i_q.reshape(n, 1, 1, 1))
+    has_p = video_codec is not None
+    if has_p:
+        y_q = np.asarray([t["p_frame_y_q_scale"] for t in tasks], np.float32)
+        mv_q = np.asarray([t["p_frame_mv_y_q_scale"] for t in tasks],
+                          np.float32)
+        if write_stream:
+            y_q, y_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in y_q])
+            mv_q, mv_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in mv_q])
+            y_q, mv_q = np.asarray(y_q, np.float32), np.asarray(mv_q, np.float32)
+        y_qs = jnp.asarray(y_q.reshape(n, 1, 1, 1))
+        mv_qs = jnp.asarray(mv_q.reshape(n, 1, 1, 1))
+
+    src_reader = PNGReader(t0["img_path"])
+    metric_fn = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
+
+    frame_types = []
+    bits = [[] for _ in range(n)]
+    psnrs = [[] for _ in range(n)]
+    msssims = [[] for _ in range(n)]
+    frame_pixel_num = 0
+    start_time = time.time()
+    dpb = None
+    is_first_p = True
+    for frame_idx in range(frame_num):
+        rgb = src_reader.read_one_frame()
+        x = rgb[None]
+        pic_height, pic_width = x.shape[1], x.shape[2]
+        frame_pixel_num = frame_pixel_num or pic_height * pic_width
+        x_padded = bs.pad_image(x)
+        padded_pixels = x_padded.shape[1] * x_padded.shape[2]
+        x_tiled = jnp.asarray(np.broadcast_to(
+            x_padded, (n,) + x_padded.shape[1:]))
+
+        if frame_idx % gop_size == 0:
+            frame_types.append(0)
+            if write_stream:
+                streams = i_codec.compress_batch(x_tiled, i_qs)
+                rb = []
+                for r, t in enumerate(tasks):
+                    path = os.path.join(t["bin_folder"], f"{frame_idx}.bin")
+                    bs.encode_i(pic_height, pic_width, i_q_idx[r],
+                                streams[r], path)
+                    bits[r].append(bs.filesize(path) * 8)
+                    rb.append(bs.decode_i(path)[3])
+                x_hat = i_codec.decompress_batch(rb, pic_height, pic_width,
+                                                 i_qs)
+            else:
+                out = i_codec.forward(x_tiled, i_qs)
+                x_hat = out["x_hat"]
+                for r in range(n):
+                    bits[r].append(float(out["bpp"][r]) * padded_pixels)
+            recon = jnp.clip(x_hat, 0, 1)
+            dpb = (make_dpb(recon, video_codec.model.channel_N,
+                            video_codec.model.channel_M) if has_p else None)
+            is_first_p = True
+        else:
+            frame_types.append(1)
+            if write_stream:
+                enc = video_codec.compress_batch(x_tiled, dpb, mv_qs, y_qs,
+                                                 is_first_p)
+                rb = []
+                for r, t in enumerate(tasks):
+                    path = os.path.join(t["bin_folder"], f"{frame_idx}.bin")
+                    bs.encode_p(enc["bit_streams"][r], mv_q_idx[r],
+                                y_q_idx[r], path)
+                    bits[r].append(bs.filesize(path) * 8)
+                    rb.append(bs.decode_p(path)[2])
+                out = video_codec.decompress_batch(
+                    dpb, rb, pic_height, pic_width, mv_qs, y_qs, is_first_p)
+                dpb = out["dpb"]
+            else:
+                out = video_codec.forward(x_tiled, dpb, mv_qs, y_qs,
+                                          is_first_p)
+                dpb = out["dpb"]
+                for r in range(n):
+                    bits[r].append(float(out["bpp"][r]) * padded_pixels)
+            dpb["ref_frame"] = jnp.clip(dpb["ref_frame"], 0, 1)
+            recon = dpb["ref_frame"]
+            is_first_p = False
+
+        x_hat_rows = recon[:, :pic_height, :pic_width, :]
+        p, m = metric_fn(x_hat_rows, jnp.asarray(
+            np.broadcast_to(x, (n,) + x.shape[1:])))
+        for r in range(n):
+            psnrs[r].append(float(p[r]))
+            msssims[r].append(float(m[r]))
+            if save_decoded:
+                save_image(np.asarray(x_hat_rows[r:r + 1]),
+                           os.path.join(tasks[r]["decoded_frame_folder"],
+                                        f"{frame_idx}.png"))
+        if verbose >= 2:
+            print(f"frame {frame_idx} (x{n} rates), "
+                  f"PSNR: {[round(psnrs[r][-1], 3) for r in range(n)]}")
+
+    test_time = time.time() - start_time
+    return [generate_log_json(frame_num, frame_types, bits[r], psnrs[r],
+                              msssims[r], frame_pixel_num, test_time)
+            for r in range(n)]
 
 
 def build_codecs(args):
@@ -287,12 +419,27 @@ def main():
         args.output_path = f"{args.output_path}.rank{jax.process_index()}"
 
     results = []
-    for task in tasks:
-        res = run_test(video_codec, i_codec, task, verbose=args.verbose)
-        res["ds_name"] = task["ds_name"]
-        res["video_path"] = task["video_path"]
-        res["rate_idx"] = task["rate_idx"]
-        results.append(res)
+    if args.batch_rates:
+        groups = {}
+        for task in tasks:
+            groups.setdefault((task["ds_name"], task["video_path"]),
+                              []).append(task)
+        for group in groups.values():
+            group.sort(key=lambda t: t["rate_idx"])
+            logs = run_test_batched(video_codec, i_codec, group,
+                                    verbose=args.verbose)
+            for task, res in zip(group, logs):
+                res["ds_name"] = task["ds_name"]
+                res["video_path"] = task["video_path"]
+                res["rate_idx"] = task["rate_idx"]
+                results.append(res)
+    else:
+        for task in tasks:
+            res = run_test(video_codec, i_codec, task, verbose=args.verbose)
+            res["ds_name"] = task["ds_name"]
+            res["video_path"] = task["video_path"]
+            res["rate_idx"] = task["rate_idx"]
+            results.append(res)
 
     log_result = {}
     for res in results:

@@ -160,3 +160,59 @@ def test_encode_gop_pipelined_matches_sequential(dmc):
     np.testing.assert_allclose(
         recons[0], np.clip(np.asarray(enc1["dpb"]["ref_frame"]), 0, 1),
         atol=1e-5)
+
+
+def test_decompress_batch_bit_identical_to_sequential(dmc):
+    """N streams decoded through batched device stages must produce exactly
+    the same symbols/reconstructions as N sequential decompress() calls —
+    the round-trip amortization must be free of cross-stream contamination."""
+    model, params, codec = dmc
+    codec.update()
+    frames = _frames(seed=6)
+    mv_qs = np.array([0.7, 1.3], np.float32).reshape(2, 1, 1, 1)
+    y_qs = np.array([0.8, 1.4], np.float32).reshape(2, 1, 1, 1)
+
+    # two streams: same content, different rate points
+    dpb0 = make_dpb(jnp.asarray(frames[0]))
+    streams = []
+    for r in range(2):
+        out = codec.compress(jnp.asarray(frames[1]), dpb0,
+                             jnp.asarray(mv_qs[r:r + 1]),
+                             jnp.asarray(y_qs[r:r + 1]), is_first_p=True)
+        streams.append(out["bit_stream"])
+
+    # sequential reference decode
+    seq = [codec.decompress(dpb0, streams[r], 64, 64,
+                            jnp.asarray(mv_qs[r:r + 1]),
+                            jnp.asarray(y_qs[r:r + 1]), is_first_p=True,
+                            return_symbols=True)
+           for r in range(2)]
+
+    # batched decode: one DPB row per stream
+    dpb_b = make_dpb(jnp.concatenate([jnp.asarray(frames[0])] * 2, axis=0))
+    batched = codec.decompress_batch(dpb_b, streams, 64, 64,
+                                     jnp.asarray(mv_qs), jnp.asarray(y_qs),
+                                     is_first_p=True, return_symbols=True)
+
+    # every decoded rANS symbol plane must be bit-identical per stream —
+    # any cross-stream contamination corrupts these first
+    for plane_idx in range(6):
+        bp = np.asarray(batched["symbols"][plane_idx])
+        for r in range(2):
+            np.testing.assert_array_equal(
+                bp[r], np.asarray(seq[r]["symbols"][plane_idx])[0],
+                err_msg=f"stream {r} symbol plane {plane_idx}")
+
+    # reconstructions agree up to batched-vs-single XLA reassociation noise
+    # (different programs; random-init feature magnitudes are ~1e4)
+    for r in range(2):
+        np.testing.assert_allclose(
+            np.asarray(batched["dpb"]["ref_frame"][r]),
+            np.asarray(seq[r]["dpb"]["ref_frame"][0]), atol=1e-5,
+            err_msg=f"stream {r} ref_frame")
+        for key in ("ref_feature", "ref_y", "ref_mv_y"):
+            got = np.asarray(batched["dpb"][key][r])
+            want = np.asarray(seq[r]["dpb"][key][0])
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() <= 1e-4 * scale, \
+                f"stream {r} {key}: drift beyond 1e-4 of tensor scale"

@@ -99,3 +99,72 @@ def test_run_test_entropy_estimated_mode(tiny_codecs, png_sequence):
     }
     log = tv.run_test(video_codec, i_codec, task)
     assert log["i_frame_num"] == 1 and log["p_frame_num"] == 2
+
+
+def test_batched_rates_matches_sequential(tmp_path, tiny_codecs,
+                                          png_sequence):
+    """run_test_batched over 2 rate points must produce per-rate logs
+    matching two sequential run_test calls — written bitstreams included."""
+    tv = _load_cli("test_video")
+    i_codec, video_codec = tiny_codecs
+
+    def mk_task(rate_idx, q, sub):
+        d = str(tmp_path / f"{sub}_{rate_idx}")
+        os.makedirs(d, exist_ok=True)
+        return {
+            "rate_idx": rate_idx,
+            "frame_num": 4,
+            "gop_size": 2,
+            "img_path": png_sequence,
+            "i_frame_q_scale": q,
+            "p_frame_y_q_scale": q,
+            "p_frame_mv_y_q_scale": q,
+            "write_stream": True,
+            "bin_folder": d,
+            "save_decoded_frame": False,
+        }
+
+    seq_tasks = [mk_task(r, q, "seq") for r, q in enumerate((0.7, 1.3))]
+    bat_tasks = [mk_task(r, q, "bat") for r, q in enumerate((0.7, 1.3))]
+
+    seq_logs = [tv.run_test(video_codec, i_codec, t) for t in seq_tasks]
+    bat_logs = tv.run_test_batched(video_codec, i_codec, bat_tasks)
+
+    # Each mode is self-consistent (batched encode pairs with batched
+    # decode); across modes the reconstructions drift by batched-vs-single
+    # XLA reassociation, which can flip a quantizer rounding on CHAINED
+    # frames — so the contract is metric-level equivalence, not byte
+    # equality (engine-level bit-identity of decompress_batch vs sequential
+    # decode of the same streams is covered in test_dmc_codec).
+    for r in range(2):
+        assert bat_logs[r]["frame_type"] == seq_logs[r]["frame_type"]
+        # bin files exist per frame and rate
+        assert sorted(os.listdir(bat_tasks[r]["bin_folder"])) == \
+            [f"{f}.bin" for f in range(4)]
+        np.testing.assert_allclose(bat_logs[r]["frame_bpp"],
+                                   seq_logs[r]["frame_bpp"], rtol=2e-2)
+        np.testing.assert_allclose(bat_logs[r]["frame_psnr"],
+                                   seq_logs[r]["frame_psnr"], atol=0.1)
+
+
+def test_batched_rates_entropy_estimated(tiny_codecs, png_sequence):
+    tv = _load_cli("test_video")
+    i_codec, video_codec = tiny_codecs
+    tasks = [{
+        "rate_idx": r,
+        "frame_num": 3,
+        "gop_size": 3,
+        "img_path": png_sequence,
+        "i_frame_q_scale": q,
+        "p_frame_y_q_scale": q,
+        "p_frame_mv_y_q_scale": q,
+        "write_stream": False,
+    } for r, q in enumerate((0.7, 1.3))]
+    single = [tv.run_test(video_codec, i_codec, t) for t in tasks]
+    batched = tv.run_test_batched(video_codec, i_codec, tasks)
+    for r in range(2):
+        assert batched[r]["frame_type"] == single[r]["frame_type"]
+        np.testing.assert_allclose(batched[r]["frame_bpp"],
+                                   single[r]["frame_bpp"], rtol=2e-3)
+        np.testing.assert_allclose(batched[r]["frame_psnr"],
+                                   single[r]["frame_psnr"], atol=0.1)

@@ -145,6 +145,24 @@ class VideoCodec:
             self.y_table)
         return self.coder.flush_encoder()
 
+    def compress_batch(self, x, dpb, mv_y_q_scale, y_q_scale,
+                       is_first_p=False):
+        """Compress N independent streams (rate points / sequences) in one
+        batched device pass; host-encodes each batch row into its own rANS
+        stream, byte-identical to N sequential compress() calls.
+
+        Returns {"bit_streams": [bytes] * N, "dpb": batched dpb}."""
+        assert self.z_table is not None, "call update() first"
+        out = self._compress(self.params, jnp.asarray(x), dpb,
+                             mv_y_q_scale, y_q_scale, is_first_p)
+        n = out["z_hat"].shape[0]
+        host = {k: np.asarray(v) for k, v in out.items() if k != "dpb"}
+        streams = [
+            self._host_encode({k: v[i:i + 1] for k, v in host.items()})
+            for i in range(n)
+        ]
+        return {"bit_streams": streams, "dpb": out["dpb"]}
+
     def encode_gop(self, frames, dpb, mv_y_q_scale, y_q_scale,
                    is_first_p=True):
         """Pipelined encoder for a burst of P-frames (SURVEY.md hard part 2).
@@ -179,7 +197,8 @@ class VideoCodec:
 
     # ------------------------------------------------------------- decompress
     def decompress(self, dpb, stream: bytes, height: int, width: int,
-                   mv_y_q_scale, y_q_scale, is_first_p=False):
+                   mv_y_q_scale, y_q_scale, is_first_p=False,
+                   return_symbols=False):
         assert self.z_table is not None, "call update() first"
         zh, zw = bs.get_downsampled_shape(height, width, 64)
         z_shape = (1, zh, zw, self.model.channel_N)
@@ -208,8 +227,75 @@ class VideoCodec:
         idx_y1, carry = self._stage5(self.params, up(y_q_r_0), carry)
         y_q_r_1 = self.coder.decode_stream(np.asarray(idx_y1), self.y_table)
 
-        return self._stage6(self.params, up(y_q_r_1), carry, contexts,
-                            y_q_scale)
+        out = self._stage6(self.params, up(y_q_r_1), carry, contexts,
+                           y_q_scale)
+        if return_symbols:
+            out["symbols"] = (mv_z_hat, mv_y_q_r_0, mv_y_q_r_1, z_hat,
+                              y_q_r_0, y_q_r_1)
+        return out
+
+    def decompress_batch(self, dpb, streams, height: int, width: int,
+                         mv_y_q_scale, y_q_scale, is_first_p=False,
+                         return_symbols=False):
+        """Decode N independent bitstreams in lockstep, bit-identically to N
+        sequential decompress() calls (VERDICT round-1 item 7).
+
+        The decode chain's host<->device round trips are its cost floor (6
+        host rANS reads / 4 device stages per frame); batching N streams —
+        the rate points of an eval sweep, or N parallel sequences — through
+        the batch axis of each device stage amortizes every round trip over
+        N streams. Each stream keeps its own rANS decoder state; the host
+        reads concatenate per-stream planes into the batched stage inputs.
+
+        Args:
+          dpb: batched DPB with leading dim N (one row per stream).
+          streams: list of N per-frame rANS streams.
+          mv_y_q_scale / y_q_scale: (N, 1, 1, 1) per-stream q scales.
+        """
+        assert self.z_table is not None, "call update() first"
+        n = len(streams)
+        zh, zw = bs.get_downsampled_shape(height, width, 64)
+        z_shape = (1, zh, zw, self.model.channel_N)
+        z_idx = be.build_indexes(z_shape)
+
+        coders = [EntropyCoder() for _ in range(n)]
+        for coder, stream in zip(coders, streams):
+            coder.set_stream(stream)
+
+        def read(per_stream_idx, table):
+            # one host read per stream; indexes may differ per stream
+            return jnp.asarray(np.concatenate(
+                [np.asarray(c.decode_stream(per_stream_idx[i], table),
+                            np.int16)
+                 for i, c in enumerate(coders)], axis=0))
+
+        def split(idx_batch):
+            idx_batch = np.asarray(idx_batch)
+            return [idx_batch[i:i + 1] for i in range(n)]
+
+        mv_z_hat = read([z_idx] * n, self.z_mv_table)
+
+        idx0, carry = self._stage1(self.params, mv_z_hat, dpb)
+        mv_y_q_r_0 = read(split(idx0), self.y_table)
+
+        idx1, carry = self._stage2(self.params, mv_y_q_r_0, carry)
+        mv_y_q_r_1 = read(split(idx1), self.y_table)
+        z_hat = read([z_idx] * n, self.z_table)
+
+        idx_y0, carry, contexts = self._stage3(
+            self.params, mv_y_q_r_1, carry, z_hat, dpb,
+            mv_y_q_scale, is_first_p)
+        y_q_r_0 = read(split(idx_y0), self.y_table)
+
+        idx_y1, carry = self._stage5(self.params, y_q_r_0, carry)
+        y_q_r_1 = read(split(idx_y1), self.y_table)
+
+        out = self._stage6(self.params, y_q_r_1, carry, contexts,
+                           y_q_scale)
+        if return_symbols:
+            out["symbols"] = (mv_z_hat, mv_y_q_r_0, mv_y_q_r_1, z_hat,
+                              y_q_r_0, y_q_r_1)
+        return out
 
     # ----------------------------------------------------------- encode+decode
     def encode_decode(self, x, dpb, output_path=None, pic_width=None,
@@ -327,6 +413,28 @@ class IntraCodec:
             np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]), self.y_table)
         return self.coder.flush_encoder()
 
+    def compress_batch(self, x, q_scale):
+        """N-row batched device compress; one rANS stream per row,
+        byte-identical to N sequential compress() calls."""
+        assert self.z_table is not None, "call update() first"
+        out = self._compress(self.params, jnp.asarray(x), q_scale)
+        host = {k: np.asarray(v) for k, v in out.items()}
+        n = host["z_hat"].shape[0]
+        z_idx = be.build_indexes((1,) + host["z_hat"].shape[1:])
+        streams = []
+        for i in range(n):
+            self.coder.reset_encoder()
+            self.coder.encode_with_indexes(host["z_hat"][i:i + 1], z_idx,
+                                           self.z_table)
+            self.coder.encode_with_indexes(host["y_q_w_0"][i:i + 1],
+                                           host["idx_w_0"][i:i + 1],
+                                           self.y_table)
+            self.coder.encode_with_indexes(host["y_q_w_1"][i:i + 1],
+                                           host["idx_w_1"][i:i + 1],
+                                           self.y_table)
+            streams.append(self.coder.flush_encoder())
+        return streams
+
     # ------------------------------------------------------------- decompress
     def decompress(self, stream: bytes, height: int, width: int, q_scale):
         assert self.z_table is not None, "call update() first"
@@ -347,6 +455,35 @@ class IntraCodec:
 
         x_hat = self._stage3(self.params, jnp.asarray(y_q_r_1), carry2, q_scale)
         return x_hat
+
+    def decompress_batch(self, streams, height: int, width: int, q_scale):
+        """Decode N streams in lockstep through batched device stages (3 host
+        reads / 3 device stages amortized over N streams)."""
+        assert self.z_table is not None, "call update() first"
+        n = len(streams)
+        zh, zw = bs.get_downsampled_shape(height, width, 64)
+        z_idx = be.build_indexes((1, zh, zw, self.model.N))
+
+        coders = [EntropyCoder() for _ in range(n)]
+        for coder, stream in zip(coders, streams):
+            coder.set_stream(stream)
+
+        def read(per_stream_idx, table):
+            return jnp.asarray(np.concatenate(
+                [np.asarray(c.decode_stream(per_stream_idx[i], table),
+                            np.int16)
+                 for i, c in enumerate(coders)], axis=0))
+
+        def split(idx_batch):
+            idx_batch = np.asarray(idx_batch)
+            return [idx_batch[i:i + 1] for i in range(n)]
+
+        z_hat = read([z_idx] * n, self.z_table)
+        idx0, carry = self._stage1(self.params, z_hat, q_scale)
+        y_q_r_0 = read(split(idx0), self.y_table)
+        idx1, carry2 = self._stage2(self.params, y_q_r_0, carry)
+        y_q_r_1 = read(split(idx1), self.y_table)
+        return self._stage3(self.params, y_q_r_1, carry2, q_scale)
 
     # ----------------------------------------------------------- encode+decode
     def encode_decode(self, x, q_scale, output_path=None,
