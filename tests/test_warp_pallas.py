@@ -68,3 +68,44 @@ def test_odd_shapes_and_channel_padding():
                            block_h=8, block_c=8, interpret=True)
     ref = _two_pass_ref(im, flow, 8)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_quality_gate_two_pass_not_bd_neutral():
+    """Round-2 quality gate (VERDICT item 6): on realistic smooth flow
+    fields the two-pass kernel deviates from the exact warp by far more
+    than quantization noise, so it must NOT be the default. This test
+    pins the measured numbers; if the kernel is ever made exact, these
+    bounds flip and the default decision should be revisited."""
+    rng = np.random.default_rng(0)
+    H, W, C = 128, 256, 32
+
+    img = np.kron(rng.random((1, H // 8, W // 8, C)),
+                  np.ones((1, 8, 8, 1))).astype(np.float32)
+    img += 0.1 * rng.standard_normal((1, H, W, C)).astype(np.float32)
+    img = jnp.asarray(img)
+
+    def smooth_field(scale, mag, seed):
+        r = np.random.default_rng(seed)
+        base = r.standard_normal((2, H // scale + 2, W // scale + 2))
+        up = np.stack([np.kron(b, np.ones((scale, scale)))[:H, :W]
+                       for b in base], -1)
+        k = scale
+        up = np.cumsum(np.cumsum(up, 0), 1)
+        up = (up[k:, k:] - up[:-k, k:] - up[k:, :-k] + up[:-k, :-k]) / (k * k)
+        up = np.pad(up, ((0, H - up.shape[0]), (0, W - up.shape[1]), (0, 0)),
+                    mode="edge")
+        return (up / np.abs(up).max() * mag).astype(np.float32)[None]
+
+    def psnr(a, b):
+        mse = float(jnp.mean((a.astype(jnp.float32)
+                              - b.astype(jnp.float32)) ** 2))
+        return 99.0 if mse < 1e-12 else -10 * np.log10(mse)
+
+    flow = jnp.asarray(smooth_field(16, 12.0, 2))
+    exact = flow_warp(img, flow)
+    fast = flow_warp_pallas(img, flow, interpret=True)
+    p = psnr(exact, fast)
+    # measured ~20 dB on smooth +-12 px fields — a visible-error regime,
+    # nowhere near BD-neutral (quantization noise would be > 40 dB)
+    assert p < 35.0, f"two-pass kernel now at {p:.1f} dB vs exact — " \
+        "re-evaluate making it the default"
