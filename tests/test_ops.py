@@ -182,3 +182,46 @@ def test_flow_warp_one_gather_path_matches_torch():
                          align_corners=True)
     np.testing.assert_allclose(np.asarray(out), nhwc(tout), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_flow_warp_packed_matches_separate():
+    """Packing several tensors into one gather must be bit-identical to
+    separate flow_warp calls (gather is per-channel independent)."""
+    from vcm_ts_tpu.ops.warp import flow_warp_packed
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(1, 16, 24, 3)).astype(np.float32)
+    b = rng.normal(size=(1, 16, 24, 64)).astype(np.float32)
+    flow = (rng.normal(size=(1, 16, 24, 2)) * 5).astype(np.float32)
+
+    wa, wb = flow_warp_packed((jnp.asarray(a), jnp.asarray(b)),
+                              jnp.asarray(flow))
+    np.testing.assert_array_equal(np.asarray(wa),
+                                  np.asarray(flow_warp(jnp.asarray(a),
+                                                       jnp.asarray(flow))))
+    np.testing.assert_array_equal(np.asarray(wb),
+                                  np.asarray(flow_warp(jnp.asarray(b),
+                                                       jnp.asarray(flow))))
+
+
+def test_flow_warp_narrow_channels_matches_torch():
+    """3-channel (frame) warp through the one-gather path vs grid_sample."""
+    rng = np.random.default_rng(13)
+    n, h, w, c = 2, 16, 24, 3
+    im = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    flow = (rng.normal(size=(n, h, w, 2)) * 6).astype(np.float32)
+
+    out = flow_warp(jnp.asarray(im), jnp.asarray(flow))
+
+    tim = nchw(im)
+    tflow = nchw(flow)
+    ys = torch.linspace(-1, 1, h).view(1, 1, h, 1).expand(n, 1, h, w)
+    xs = torch.linspace(-1, 1, w).view(1, 1, 1, w).expand(n, 1, h, w)
+    grid = torch.cat([xs, ys], 1)
+    norm_flow = torch.cat([tflow[:, 0:1] / ((w - 1) / 2.0),
+                           tflow[:, 1:2] / ((h - 1) / 2.0)], 1)
+    tout = F.grid_sample(tim, (grid + norm_flow).permute(0, 2, 3, 1),
+                         mode="bilinear", padding_mode="border",
+                         align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), nhwc(tout), rtol=1e-4,
+                               atol=1e-4)

@@ -161,12 +161,21 @@ class DMC(nn.Module):
         return self.feature_extractor(feature)
 
     def motion_compensation(self, dpb, mv, is_first_p: bool):
-        """Multi-scale warped contexts (video_model.py:233-246)."""
-        warpframe = self._warp(dpb["ref_frame"], mv, 0)
+        """Multi-scale warped contexts (video_model.py:233-246).
+
+        The reference frame and the full-res feature plane share one flow at
+        one resolution, so they ride a single packed gather (per-index cost
+        dominates TPU gathers; bit-identical to separate warps)."""
         mv2 = bilinear_down2(mv) / 2
         mv3 = bilinear_down2(mv2) / 2
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb, is_first_p)
-        context1 = self._warp(f1, mv, 0)
+        if self.fast_warp:
+            warpframe = self._warp(dpb["ref_frame"], mv, 0)
+            context1 = self._warp(f1, mv, 0)
+        else:
+            from ..ops.warp import flow_warp_packed
+            warpframe, context1 = flow_warp_packed(
+                (dpb["ref_frame"], f1), mv)
         context2 = self._warp(f2, mv2, 1)
         context3 = self._warp(f3, mv3, 2)
         context1, context2, context3 = self.context_fusion_net(
