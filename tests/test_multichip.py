@@ -40,10 +40,14 @@ def test_dp_equivalence_1_vs_8_devices():
     lambdas = [85.0, 170.0, 380.0, 840.0, 85.0, 170.0, 380.0, 840.0]
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
-    ref = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
+    x_np = rng.random((8, 64, 64, 3)).astype(np.float32)
+    ref_np = rng.random((8, 64, 64, 3)).astype(np.float32)
 
     def run(mesh):
+        # fresh device arrays per run: the step donates the DPB (which
+        # aliases `ref`), so arrays must not be shared across runs
+        x = jnp.asarray(x_np)
+        ref = jnp.asarray(ref_np)
         tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
         step = make_single_frame_step(model, tx, stage, lambdas=lambdas,
                                       dist_lambda=1.0, pl_lambda=0.0)

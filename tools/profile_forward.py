@@ -1,0 +1,203 @@
+"""Capture a device trace of the DMC forward and bucket op time.
+
+Runs the jitted 1080p P-frame forward (the bench.py hot loop) under
+jax.profiler, then parses the written XPlane proto and aggregates device-lane
+event time (1) per HLO op-category bucket and (2) per top individual fusion,
+printing the tables PERF.md's "where the time goes" section is built from.
+
+Usage:
+  python tools/profile_forward.py [--dtype bf16] [--size 1088x1920]
+                                  [--frames 3] [--out /tmp/dmc_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bucket_of(name: str) -> str:
+    """Map an HLO/fusion event (full instruction text) to a cost bucket.
+
+    The LHS op name decides first; for generic %fusion.N names the operand /
+    callee text breaks the tie (a fusion fed by conv kernels is a conv)."""
+    lhs = name.split(" = ")[0].lower()
+    n = name.lower()
+    if "convolution" in lhs:
+        return "conv"
+    if "gather" in lhs:
+        return "gather"
+    if "scatter" in lhs:
+        return "scatter"
+    if "copy" in lhs or "transpose" in lhs:
+        return "layout-copy"
+    if "reduce-window" in lhs or "reduce_window" in lhs:
+        return "reduce-window"
+    if any(k in lhs for k in ("pad", "reshape", "slice", "concatenate",
+                              "reverse")):
+        return "pad/reshape/slice"
+    if "dot" in lhs:
+        return "dot"
+    if any(k in lhs for k in ("infeed", "outfeed", "send", "recv",
+                              "transfer", "stream")):
+        return "host-transfer"
+    # generic fusion: classify by body hints
+    if "convolution" in n or re.search(r"bf16\[\d,\d,\d+,\d+\]", n):
+        # conv fusions carry an HWIO kernel operand like bf16[7,7,64,32]
+        if re.search(r"\[[37],[37],\d+,\d+\]", n):
+            return "conv"
+    if "take" in n or "gather" in n or "s32[" in n:
+        return "gather"
+    if "fusion" in lhs or "loop" in lhs:
+        return "elementwise-fusion"
+    return "other"
+
+
+def summarize_xplane(logdir: str, top_n: int = 25):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.xplane.pb")))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    buckets = defaultdict(float)
+    per_op = defaultdict(float)
+    async_ops = defaultdict(float)
+    total_ps = 0.0
+    for plane in xspace.planes:
+        # device planes only: TPU/accelerator op lanes, skip host threads
+        pname = plane.name.lower()
+        if not ("tpu" in pname or "device" in pname or "/device:" in pname
+                or "axon" in pname):
+            continue
+        if "host" in pname:
+            continue
+        emeta = plane.event_metadata
+        for line in plane.lines:
+            lname = line.name.lower()
+            # XLA op lanes; skip step/annotation lanes to avoid double count
+            if "xla op" not in lname and "ops" != lname.strip():
+                continue
+            for ev in line.events:
+                name = emeta[ev.metadata_id].name
+                dur = ev.duration_ps
+                lhs = name.split(" = ")[0]
+                # async copy-start durations span until the matching
+                # copy-done and overlap real compute — track separately
+                if "copy-start" in lhs or "copy-done" in lhs:
+                    async_ops[name] += dur
+                    continue
+                total_ps += dur
+                buckets[bucket_of(name)] += dur
+                per_op[name] += dur
+    if total_ps == 0:
+        # fall back: take the busiest lane of every device plane
+        for plane in xspace.planes:
+            pname = plane.name.lower()
+            if "host" in pname:
+                continue
+            emeta = plane.event_metadata
+            lanes = defaultdict(float)
+            lane_events = defaultdict(list)
+            for line in plane.lines:
+                for ev in line.events:
+                    lanes[line.name] += ev.duration_ps
+                    lane_events[line.name].append(ev)
+            if not lanes:
+                continue
+            best = max(lanes, key=lanes.get)
+            for ev in lane_events[best]:
+                name = emeta[ev.metadata_id].name
+                total_ps += ev.duration_ps
+                buckets[bucket_of(name)] += ev.duration_ps
+                per_op[name] += ev.duration_ps
+            print(f"[fallback] plane={plane.name!r} lane={best!r}",
+                  file=sys.stderr)
+    return buckets, per_op, total_ps, async_ops
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--size", default="1088x1920")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/dmc_trace")
+    ap.add_argument("--fast-warp", action="store_true")
+    ap.add_argument("--summarize-only", metavar="LOGDIR", default=None,
+                    help="skip running; just parse an existing trace dir")
+    args = ap.parse_args()
+
+    if args.summarize_only is None:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vcm_ts_tpu.models.dmc import DMC, make_dpb
+
+        h, w = (int(v) for v in args.size.split("x"))
+        model = DMC(anchor_num=4, fast_warp=args.fast_warp)
+        x0 = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
+                            method="init_all")
+        if args.dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16)
+                if v.dtype == jnp.float32 else v, params)
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        rng = np.random.default_rng(0)
+        frames = [jnp.asarray(rng.random((1, h, w, 3)), dtype)
+                  for _ in range(2)]
+        dpb = make_dpb(frames[0])
+
+        fwd = jax.jit(
+            lambda p, x, d: model.apply(p, x, d, 0.7, 0.7, False))
+
+        def force(d):
+            return float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
+
+        print("compiling...", file=sys.stderr)
+        dpb = fwd(params, frames[1], dpb)["dpb"]
+        force(dpb)
+        print("tracing...", file=sys.stderr)
+        jax.profiler.start_trace(args.out)
+        for i in range(args.frames):
+            dpb = fwd(params, frames[i % 2], dpb)["dpb"]
+        force(dpb)
+        jax.profiler.stop_trace()
+        logdir = args.out
+    else:
+        logdir = args.summarize_only
+
+    buckets, per_op, total_ps, async_ops = summarize_xplane(logdir)
+    n = max(args.frames, 1)
+    print(f"\n== SYNC bucket ms/frame (over {n} frames, total "
+          f"{total_ps / 1e9 / n:.1f} ms/frame) ==")
+    for b, ps in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"{b:24s} {ps / 1e9 / n:9.2f} ms  "
+              f"({100 * ps / max(total_ps, 1):.1f}%)")
+    print(f"\n(async copy-start/done span-time, overlaps compute: "
+          f"{sum(async_ops.values()) / 1e9 / n:.1f} ms/frame)")
+    print("\n== top sync ops ms/frame ==")
+    for name, ps in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ps / 1e9 / n:9.2f} ms  {name[:150]}")
+    print("\n== conv fusions by shape ==")
+    conv_rows = [(ps, name) for name, ps in per_op.items()
+                 if bucket_of(name) == "conv"]
+    for ps, name in sorted(conv_rows, reverse=True)[:40]:
+        print(f"{ps / 1e9 / n:9.2f} ms  {name[:150]}")
+
+
+if __name__ == "__main__":
+    main()
