@@ -23,13 +23,29 @@ from ..entropy.gaussian import GaussianCoder
 from . import bitstream as bs
 
 
+def _i16(x):
+    """Symbol planes cross the host boundary as int16: covers the coder's
+    in-window symbols and any realistic bypass magnitudes, at 1/4 the f32
+    tunnel traffic."""
+    return jnp.clip(x, -32768, 32767).astype(jnp.int16)
+
+
 class VideoCodec:
     """Host/device orchestration for DMC P-frames (video_model.py:263-468).
 
     Stream order per frame: mv_z, mv_y step0, mv_y step1, z, y step0, y step1
     — six interleaved planes in one rANS stream. Decode ping-pongs between
-    four jitted device stages and the sequential host coder; z is decoded
+    five jitted device stages and the sequential host coder; z is decoded
     together with mv_y step1 since its indexes are static (channel ids).
+
+    The ENCODER runs the decoder's exact stage programs for every prior the
+    stream depends on (plus three encoder-only programs for flow/latent
+    analysis): under XLA, a separately-fused one-program encoder recomputes
+    priors with different fusion boundaries, and the resulting ULP drift can
+    flip scale indexes / desync rANS on chained P-frames. Sharing the
+    compiled stage binaries makes encode/decode bit-exact by construction —
+    the property the reference gets for free from running one set of torch
+    kernels (video_model.py:263-352).
     """
 
     def __init__(self, model, params):
@@ -48,20 +64,15 @@ class VideoCodec:
             # device->host transfer (the tunnel link is the bottleneck)
             return gauss.build_indexes(scales).astype(jnp.uint8)
 
-        def compress_fn(p, x, dpb, mv_q, y_q, is_first_p):
-            out = model.apply(p, x, dpb, mv_q, y_q, is_first_p,
-                              method="compress_device")
-            for k in ("mv_scales_w_0", "mv_scales_w_1",
-                      "scales_w_0", "scales_w_1"):
-                out[k.replace("scales", "idx")] = idx_u8(out.pop(k))
-            # symbol planes: int16 covers the coder's in-window symbols and
-            # any realistic bypass magnitudes from quantized latents
-            for k in ("mv_y_q_w_0", "mv_y_q_w_1", "y_q_w_0", "y_q_w_1"):
-                out[k] = jnp.clip(out[k], -32768, 32767).astype(jnp.int16)
-            out["z_hat"] = jnp.clip(out["z_hat"], -32768, 32767).astype(jnp.int16)
-            out["mv_z_hat"] = jnp.clip(out["mv_z_hat"], -32768,
-                                       32767).astype(jnp.int16)
-            return out
+        def enc_front_fn(p, x, dpb, mv_q):
+            mv_y, mv_z_hat = model.apply(p, x, dpb, mv_q,
+                                         method="encode_front")
+            return mv_y, _i16(mv_z_hat)
+
+        def enc_latent_fn(p, x, contexts, y_q):
+            y, z_hat = model.apply(p, x, contexts, y_q,
+                                   method="encode_latent")
+            return y, _i16(z_hat)
 
         def stage1_fn(p, mv_z_hat, dpb):
             s, carry = model.apply(p, mv_z_hat.astype(jnp.float32), dpb,
@@ -73,12 +84,15 @@ class VideoCodec:
                                     method="decompress_stage2")
             return idx_u8(s), carry2
 
-        def stage3_fn(p, mv_y_q_r_1, carry, z_hat, dpb, mv_q, is_first_p):
-            s, carry2, contexts = model.apply(
-                p, mv_y_q_r_1.astype(jnp.float32), carry,
-                z_hat.astype(jnp.float32), dpb, mv_q, is_first_p,
-                method="decompress_stage3")
-            return idx_u8(s), carry2, contexts
+        def stage3a_fn(p, mv_y_q_r_1, carry, dpb, mv_q, is_first_p):
+            return model.apply(p, mv_y_q_r_1.astype(jnp.float32), carry,
+                               dpb, mv_q, is_first_p,
+                               method="decompress_stage3a")
+
+        def stage3b_fn(p, z_hat, context3, dpb):
+            s, carry = model.apply(p, z_hat.astype(jnp.float32), context3,
+                                   dpb, method="decompress_stage3b")
+            return idx_u8(s), carry
 
         def stage5_fn(p, y_q_r_0, carry):
             s, carry2 = model.apply(p, y_q_r_0.astype(jnp.float32), carry,
@@ -89,10 +103,17 @@ class VideoCodec:
             return model.apply(p, y_q_r_1.astype(jnp.float32), carry,
                                contexts, y_q, method="decompress_stage6")
 
-        self._compress = jax.jit(compress_fn, static_argnums=(5,))
+        from ..models import common as cm
+        self._enc_front = jax.jit(enc_front_fn)
+        self._enc_latent = jax.jit(enc_latent_fn)
+        self._sym0 = jax.jit(
+            lambda y, means, qs: _i16(cm.encode_symbols_step0(y, means, qs)))
+        self._sym1 = jax.jit(
+            lambda y, m0, m1, qs: _i16(cm.encode_symbols_step1(y, m0, m1, qs)))
         self._stage1 = jax.jit(stage1_fn)
         self._stage2 = jax.jit(stage2_fn)
-        self._stage3 = jax.jit(stage3_fn, static_argnums=(6,))
+        self._stage3a = jax.jit(stage3a_fn, static_argnums=(5,))
+        self._stage3b = jax.jit(stage3b_fn)
         self._stage5 = jax.jit(stage5_fn)
         self._stage6 = jax.jit(stage6_fn)
         self._forward = jax.jit(
@@ -116,10 +137,40 @@ class VideoCodec:
                              mv_y_q_scale, y_q_scale, is_first_p)
 
     # --------------------------------------------------------------- compress
+    def _compress_planes(self, x, dpb, mv_y_q_scale, y_q_scale, is_first_p):
+        """Dispatch the encode chain (all device-side, fully async): the
+        decoder's stage programs interleaved with the encoder-only analysis
+        programs and symbol quantization. Returns the symbol/index planes
+        (to be pulled by the host coder) and the decoder-exact DPB."""
+        p = self.params
+        x = jnp.asarray(x)
+        mv_y, mv_z_hat = self._enc_front(p, x, dpb, mv_y_q_scale)
+        idx0, carry = self._stage1(p, mv_z_hat, dpb)
+        mv_w0 = self._sym0(mv_y, carry[0], carry[2])
+        idx1, carry = self._stage2(p, mv_w0, carry)
+        mv_w1 = self._sym1(mv_y, carry[2], carry[3], carry[4])
+        contexts = self._stage3a(p, mv_w1, carry, dpb, mv_y_q_scale,
+                                 is_first_p)
+        y, z_hat = self._enc_latent(p, x, contexts, y_q_scale)
+        idx_y0, carry = self._stage3b(p, z_hat, contexts[2], dpb)
+        y_w0 = self._sym0(y, carry[0], carry[2])
+        idx_y1, carry = self._stage5(p, y_w0, carry)
+        y_w1 = self._sym1(y, carry[2], carry[3], carry[4])
+        out6 = self._stage6(p, y_w1, carry, contexts, y_q_scale)
+        return {
+            "mv_z_hat": mv_z_hat,
+            "mv_y_q_w_0": mv_w0, "mv_idx_w_0": idx0,
+            "mv_y_q_w_1": mv_w1, "mv_idx_w_1": idx1,
+            "z_hat": z_hat,
+            "y_q_w_0": y_w0, "idx_w_0": idx_y0,
+            "y_q_w_1": y_w1, "idx_w_1": idx_y1,
+            "dpb": out6["dpb"],
+        }
+
     def compress(self, x, dpb, mv_y_q_scale, y_q_scale, is_first_p=False):
         assert self.z_table is not None, "call update() first"
-        out = self._compress(self.params, jnp.asarray(x), dpb,
-                             mv_y_q_scale, y_q_scale, is_first_p)
+        out = self._compress_planes(x, dpb, mv_y_q_scale, y_q_scale,
+                                    is_first_p)
         return {"bit_stream": self._host_encode(out), "dpb": out["dpb"]}
 
     def _host_encode(self, out) -> bytes:
@@ -153,8 +204,8 @@ class VideoCodec:
 
         Returns {"bit_streams": [bytes] * N, "dpb": batched dpb}."""
         assert self.z_table is not None, "call update() first"
-        out = self._compress(self.params, jnp.asarray(x), dpb,
-                             mv_y_q_scale, y_q_scale, is_first_p)
+        out = self._compress_planes(x, dpb, mv_y_q_scale, y_q_scale,
+                                    is_first_p)
         n = out["z_hat"].shape[0]
         host = {k: np.asarray(v) for k, v in out.items() if k != "dpb"}
         streams = [
@@ -179,15 +230,12 @@ class VideoCodec:
         streams = []
         pending = None
         for i, x in enumerate(frames):
-            out = self._compress(self.params, jnp.asarray(x), dpb,
-                                 mv_y_q_scale, y_q_scale,
-                                 is_first_p if i == 0 else False)
-            # chain the DECODER-equivalent DPB: the decoder clamps the recon
-            # (video_model.py:413) while compress leaves it unclamped; using
-            # the unclamped frame here would silently desynchronize encoder
-            # predictions from what the decoder reconstructs
-            dpb = dict(out["dpb"])
-            dpb["ref_frame"] = jnp.clip(dpb["ref_frame"], 0.0, 1.0)
+            out = self._compress_planes(x, dpb, mv_y_q_scale, y_q_scale,
+                                        is_first_p if i == 0 else False)
+            # the DPB comes out of the decoder's own stage-6 program
+            # (recon already clamped), so chaining it keeps the encoder
+            # bit-exactly in lockstep with any decoder
+            dpb = out["dpb"]
             if pending is not None:
                 streams.append(self._host_encode(pending))
             pending = out
@@ -219,9 +267,10 @@ class VideoCodec:
         mv_y_q_r_1 = self.coder.decode_stream(np.asarray(idx1), self.y_table)
         z_hat = self.coder.decode_stream(z_idx, self.z_table)
 
-        idx_y0, carry, contexts = self._stage3(
-            self.params, up(mv_y_q_r_1), carry, up(z_hat), dpb,
-            mv_y_q_scale, is_first_p)
+        contexts = self._stage3a(self.params, up(mv_y_q_r_1), carry, dpb,
+                                 mv_y_q_scale, is_first_p)
+        idx_y0, carry = self._stage3b(self.params, up(z_hat), contexts[2],
+                                      dpb)
         y_q_r_0 = self.coder.decode_stream(np.asarray(idx_y0), self.y_table)
 
         idx_y1, carry = self._stage5(self.params, up(y_q_r_0), carry)
@@ -282,9 +331,9 @@ class VideoCodec:
         mv_y_q_r_1 = read(split(idx1), self.y_table)
         z_hat = read([z_idx] * n, self.z_table)
 
-        idx_y0, carry, contexts = self._stage3(
-            self.params, mv_y_q_r_1, carry, z_hat, dpb,
-            mv_y_q_scale, is_first_p)
+        contexts = self._stage3a(self.params, mv_y_q_r_1, carry, dpb,
+                                 mv_y_q_scale, is_first_p)
+        idx_y0, carry = self._stage3b(self.params, z_hat, contexts[2], dpb)
         y_q_r_0 = read(split(idx_y0), self.y_table)
 
         idx_y1, carry = self._stage5(self.params, y_q_r_0, carry)
@@ -335,7 +384,11 @@ class VideoCodec:
 
 
 class IntraCodec:
-    """Host/device orchestration for IntraNoAR (image_model.py:114-200)."""
+    """Host/device orchestration for IntraNoAR (image_model.py:114-200).
+
+    Like VideoCodec, the encoder derives all write-scales through the
+    decoder's own jitted stage programs (bit-exact streams by construction
+    under XLA's per-program fusion)."""
 
     def __init__(self, model, params):
         self.model = model
@@ -350,13 +403,9 @@ class IntraCodec:
         def idx_u8(scales):
             return gauss.build_indexes(scales).astype(jnp.uint8)
 
-        def compress_fn(p, x, q_scale):
-            out = model.apply(p, x, q_scale, method="compress_device")
-            out["idx_w_0"] = idx_u8(out.pop("scales_w_0"))
-            out["idx_w_1"] = idx_u8(out.pop("scales_w_1"))
-            for k in ("z_hat", "y_q_w_0", "y_q_w_1"):
-                out[k] = jnp.clip(out[k], -32768, 32767).astype(jnp.int16)
-            return out
+        def enc_front_fn(p, x, q_scale):
+            y, z_hat = model.apply(p, x, q_scale, method="encode_front")
+            return y, _i16(z_hat)
 
         def stage1_fn(p, z_hat, q_scale):
             scales_r_0, carry = model.apply(
@@ -375,7 +424,12 @@ class IntraCodec:
                 p, y_q_r_1.astype(jnp.float32), carry, q_scale,
                 method="decompress_stage3")
 
-        self._compress = jax.jit(compress_fn)
+        from ..models import common as cm
+        self._enc_front = jax.jit(enc_front_fn)
+        self._sym0 = jax.jit(
+            lambda y, means, qs: _i16(cm.encode_symbols_step0(y, means, qs)))
+        self._sym1 = jax.jit(
+            lambda y, m0, m1, qs: _i16(cm.encode_symbols_step1(y, m0, m1, qs)))
         self._stage1 = jax.jit(stage1_fn)
         self._stage2 = jax.jit(stage2_fn)
         self._stage3 = jax.jit(stage3_fn)
@@ -399,9 +453,20 @@ class IntraCodec:
         return self._forward(self.params, jnp.asarray(x), q_scale)
 
     # --------------------------------------------------------------- compress
+    def _compress_planes(self, x, q_scale):
+        """Encode chain through the shared decoder stages (all device-side)."""
+        p = self.params
+        y, z_hat = self._enc_front(p, jnp.asarray(x), q_scale)
+        idx0, carry = self._stage1(p, z_hat, q_scale)
+        y_w0 = self._sym0(y, carry[0], carry[2])
+        idx1, carry = self._stage2(p, y_w0, carry)
+        y_w1 = self._sym1(y, carry[2], carry[3], carry[4])
+        return {"z_hat": z_hat, "y_q_w_0": y_w0, "idx_w_0": idx0,
+                "y_q_w_1": y_w1, "idx_w_1": idx1}
+
     def compress(self, x, q_scale) -> bytes:
         assert self.z_table is not None, "call update() first"
-        out = self._compress(self.params, jnp.asarray(x), q_scale)
+        out = self._compress_planes(x, q_scale)
         z_hat = np.asarray(out["z_hat"])
         z_idx = be.build_indexes(z_hat.shape)
 
@@ -417,7 +482,7 @@ class IntraCodec:
         """N-row batched device compress; one rANS stream per row,
         byte-identical to N sequential compress() calls."""
         assert self.z_table is not None, "call update() first"
-        out = self._compress(self.params, jnp.asarray(x), q_scale)
+        out = self._compress_planes(x, q_scale)
         host = {k: np.asarray(v) for k, v in out.items()}
         n = host["z_hat"].shape[0]
         z_idx = be.build_indexes((1,) + host["z_hat"].shape[1:])

@@ -116,6 +116,46 @@ def forward_dual_prior(y, means, scales, quant_step,
 
 
 # --------------------------------------------------------------------------
+# Encoder-side symbol quantization against the DECODER's prior buffers.
+#
+# The reference runs compress and decompress as the same torch kernels, so
+# its encoder-side means/scales are bit-identical to the decoder's by
+# construction (common_model.py:104-217). Under XLA, a fused one-program
+# encoder recomputes the priors with different fusion boundaries — ULP
+# drift can flip a scale-table index or a symbol rounding and desync the
+# rANS stream on chained P-frames. The codec engines therefore derive every
+# prior through the *decoder's own jitted stage programs* and quantize the
+# encoder latent against those buffers with the two helpers below; the
+# written stream then decodes bit-exactly on any frame chain.
+# --------------------------------------------------------------------------
+
+def encode_symbols_step0(y, means, quant_step):
+    """Checkerboard step-0 symbols of latent `y` given stage-A prior buffers
+    (means full-width, quant_step already lower-bounded). Equals
+    forward_dual_prior's y_q_w_0 when the priors agree."""
+    _, h, w, _ = y.shape
+    mask0, mask1 = checkerboard_masks(h, w, y.dtype)
+    y = y / quant_step
+    y_0, y_1 = jnp.split(y, 2, axis=-1)
+    means_0, means_1 = jnp.split(means, 2, axis=-1)
+    q00 = quant_round((y_0 - means_0 * mask0) * mask0)
+    q11 = quant_round((y_1 - means_1 * mask1) * mask1)
+    return q00 + q11
+
+
+def encode_symbols_step1(y, means_0, means_1, quant_step):
+    """Checkerboard step-1 symbols given stage-B prior buffers (means halves
+    from the spatial prior). Equals forward_dual_prior's y_q_w_1."""
+    _, h, w, _ = y.shape
+    mask0, mask1 = checkerboard_masks(h, w, y.dtype)
+    y = y / quant_step
+    y_0, y_1 = jnp.split(y, 2, axis=-1)
+    q01 = quant_round((y_0 - means_0 * mask1) * mask1)
+    q10 = quant_round((y_1 - means_1 * mask0) * mask0)
+    return q01 + q10
+
+
+# --------------------------------------------------------------------------
 # Decompress side, split into device stages around the two host rANS reads
 # (common_model.py:182-217). Stage A emits the step-0 coding scales; stage B
 # consumes decoded step-0 symbols and emits step-1 scales; stage C consumes

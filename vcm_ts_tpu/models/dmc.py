@@ -299,58 +299,30 @@ class DMC(nn.Module):
     forward_one_frame = __call__
 
     # -------------------------------------------------------------- compress
-    def compress_device(self, x, dpb, mv_y_q_scale, y_q_scale,
-                        is_first_p: bool = False):
-        """Device half of compress (video_model.py:263-352): emits all six
-        symbol planes in stream order plus the updated DPB."""
-        curr_mv_y_q = self.get_curr_mv_y_q(mv_y_q_scale)
-        curr_y_q = self.get_curr_y_q(y_q_scale)
+    # The encoder is the decoder's stage chain plus three encoder-only
+    # programs; every prior/scale the written stream depends on comes out of
+    # the SAME jitted decompress stages the decoder runs, so encode/decode
+    # stay bit-exact across chained P-frames (see common.py encoder-side
+    # notes; reference equivalence: video_model.py:263-352 runs both halves
+    # as the same torch kernels).
 
+    def encode_front(self, x, dpb, mv_y_q_scale):
+        """Encoder-only MV analysis: flow estimation -> mv latent + rounded
+        hyper symbols (video_model.py:263-276)."""
+        curr_mv_y_q = self.get_curr_mv_y_q(mv_y_q_scale)
         est_mv = self.optic_flow(x, dpb["ref_frame"])
         mv_y = self.mv_encoder(est_mv) / curr_mv_y_q
         mv_z = self.mv_hyper_prior_encoder(mv_y)
-        mv_z_hat = jnp.round(mv_z)
-        mv_q_step, mv_scales, mv_means = self._mv_prior(
-            mv_z_hat, dpb["ref_mv_y"])
-        mv_w = common.forward_dual_prior(
-            mv_y, mv_means, mv_scales, mv_q_step, self.mv_y_spatial_prior,
-            training=False, write=True)
-        mv_y_hat = mv_w.y_hat * curr_mv_y_q
+        return mv_y, jnp.round(mv_z)
 
-        mv_hat = self.mv_decoder(mv_y_hat)
-        context1, context2, context3, _ = self.motion_compensation(
-            dpb, mv_hat, is_first_p)
-
-        y = self.contextual_encoder(x, context1, context2, context3) / curr_y_q
+    def encode_latent(self, x, contexts, y_q_scale):
+        """Encoder-only contextual analysis against the DECODER's contexts
+        (from decompress_stage3a): y latent + rounded hyper symbols."""
+        context1, context2, context3, _ = contexts
+        y = self.contextual_encoder(
+            x, context1, context2, context3) / self.get_curr_y_q(y_q_scale)
         z = self.contextual_hyper_prior_encoder(y)
-        z_hat = jnp.round(z)
-        q_step, scales, means = self._y_prior(z_hat, context3, dpb["ref_y"])
-        y_w = common.forward_dual_prior(
-            y, means, scales, q_step, self.y_spatial_prior,
-            training=False, write=True)
-        y_hat = y_w.y_hat * curr_y_q
-
-        recon_feat = self.contextual_decoder(y_hat, context2, context3)
-        feature, x_hat = self.recon_generation_net(recon_feat, context1)
-
-        return {
-            "mv_z_hat": mv_z_hat.astype(jnp.int32),
-            "mv_y_q_w_0": mv_w.y_q_w_0.astype(jnp.int32),
-            "mv_y_q_w_1": mv_w.y_q_w_1.astype(jnp.int32),
-            "mv_scales_w_0": mv_w.scales_w_0,
-            "mv_scales_w_1": mv_w.scales_w_1,
-            "z_hat": z_hat.astype(jnp.int32),
-            "y_q_w_0": y_w.y_q_w_0.astype(jnp.int32),
-            "y_q_w_1": y_w.y_q_w_1.astype(jnp.int32),
-            "scales_w_0": y_w.scales_w_0,
-            "scales_w_1": y_w.scales_w_1,
-            "dpb": {
-                "ref_frame": x_hat,
-                "ref_feature": feature,
-                "ref_y": y_hat,
-                "ref_mv_y": mv_y_hat,
-            },
-        }
+        return y, jnp.round(z)
 
     # ------------------------------------------------------------ decompress
     # Stage 1: mv hyper decode -> step-0 mv coding scales.
@@ -368,10 +340,11 @@ class DMC(nn.Module):
             self.mv_y_spatial_prior)
         return scales_r_1, carry2 + (mv_q_step,)
 
-    # Stage 3+4 fused: finish mv, motion-compensate, consume z (decoded from
-    # static channel indexes on the host), emit step-0 y coding scales.
-    def decompress_stage3(self, mv_y_q_r_1, carry, z_hat, dpb,
-                          mv_y_q_scale, is_first_p: bool = False):
+    # Stage 3a: finish mv reconstruction and motion-compensate. Split from
+    # 3b so the ENCODER can reuse it: it needs these contexts to compute the
+    # y latent before the y-prior stage can run.
+    def decompress_stage3a(self, mv_y_q_r_1, carry, dpb,
+                           mv_y_q_scale, is_first_p: bool = False):
         y_hat_0_0, y_hat_1_1, means_0, means_1, mv_q_step = carry
         mv_y_hat = common.decompress_stage_c(
             mv_y_q_r_1, (y_hat_0_0, y_hat_1_1, means_0, means_1), mv_q_step)
@@ -380,11 +353,14 @@ class DMC(nn.Module):
         mv_hat = self.mv_decoder(mv_y_hat)
         context1, context2, context3, _ = self.motion_compensation(
             dpb, mv_hat, is_first_p)
+        return (context1, context2, context3, mv_y_hat)
 
+    # Stage 3b: consume z (decoded from static channel indexes on the host),
+    # emit step-0 y coding scales.
+    def decompress_stage3b(self, z_hat, context3, dpb):
         q_step, scales, means = self._y_prior(z_hat, context3, dpb["ref_y"])
         scales_r_0, q_step = common.decompress_stage_a(scales, q_step)
-        return scales_r_0, (means, scales, q_step), \
-            (context1, context2, context3, mv_y_hat)
+        return scales_r_0, (means, scales, q_step)
 
     # Stage 5: decoded y step-0 symbols -> step-1 y coding scales.
     def decompress_stage5(self, y_q_r_0, carry):

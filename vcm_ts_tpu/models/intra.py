@@ -131,24 +131,15 @@ class IntraNoAR(nn.Module):
         }
 
     # -------------------------------------------------------------- compress
-    def compress_device(self, x, q_scale):
-        """Device half of compress (image_model.py:148-177): everything up to
-        the integer symbol planes; host rANS turns them into bytes."""
+    def encode_front(self, x, q_scale):
+        """Encoder-only analysis transform: y latent + rounded hyper symbols
+        (image_model.py:148-160). All prior/scale math the stream depends on
+        runs through the shared decompress stages (see common.py notes on
+        encoder/decoder bit-exactness under XLA)."""
         curr_q = self.get_curr_q(q_scale)
         y = self.enc(x) / curr_q
         z = self.hyper_enc(y)
-        z_hat = jnp.round(z)
-        q_step, scales, means = self._fusion_params(z_hat)
-        w = common.forward_dual_prior(
-            y, means, scales, q_step, self.y_spatial_prior,
-            training=False, write=True)
-        return {
-            "z_hat": z_hat.astype(jnp.int32),
-            "y_q_w_0": w.y_q_w_0.astype(jnp.int32),
-            "y_q_w_1": w.y_q_w_1.astype(jnp.int32),
-            "scales_w_0": w.scales_w_0,
-            "scales_w_1": w.scales_w_1,
-        }
+        return y, jnp.round(z)
 
     # ------------------------------------------------------------ decompress
     def decompress_stage1(self, z_hat, q_scale):
