@@ -50,20 +50,8 @@ class DualPriorForward(NamedTuple):
     scales_hat: jnp.ndarray
 
 
-class DualPriorWrite(NamedTuple):
-    """Per-coding-step planes for real bitstream writing: step-0 carries the
-    even positions of the first channel half + odd of the second; step-1 the
-    complement (common_model.py:165-176)."""
-    y_q_w_0: jnp.ndarray
-    y_q_w_1: jnp.ndarray
-    scales_w_0: jnp.ndarray
-    scales_w_1: jnp.ndarray
-    y_hat: jnp.ndarray
-
-
 def forward_dual_prior(y, means, scales, quant_step,
-                       spatial_prior: Callable, *, training: bool = False,
-                       write: bool = False):
+                       spatial_prior: Callable, *, training: bool = False):
     """Two-step dual-prior coding (common_model.py:104-177).
 
     spatial_prior: callable mapping the concatenated step-0 context
@@ -96,14 +84,6 @@ def forward_dual_prior(y, means, scales, quant_step,
 
     y_hat = jnp.concatenate(
         (y_hat_0_0 + y_hat_0_1, y_hat_1_1 + y_hat_1_0), axis=-1) * quant_step
-
-    if write:
-        return DualPriorWrite(
-            y_q_w_0=y_q_0_0 + y_q_1_1,
-            y_q_w_1=y_q_0_1 + y_q_1_0,
-            scales_w_0=s_hat_0_0 + s_hat_1_1,
-            scales_w_1=s_hat_0_1 + s_hat_1_0,
-            y_hat=y_hat)
 
     return DualPriorForward(
         y_res=jnp.concatenate((y_res_0_0 + y_res_0_1,

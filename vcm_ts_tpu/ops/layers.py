@@ -243,16 +243,91 @@ class UNet(nn.Module):
         return d2
 
 
+class Conv2dParams(nn.Module):
+    """Bare conv parameters (kernel HWIO + bias) without an op, so callers
+    can route the math through shape-specialized implementations while the
+    param tree stays identical to nn.Conv (same names, shapes, inits)."""
+
+    features: int
+    in_features: int
+    kernel: int = 7
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kernel_init,
+                       (self.kernel, self.kernel, self.in_features,
+                        self.features))
+        b = self.param("bias", bias_init, (self.features,))
+        return k, b
+
+
+def _conv_same(x, k, b):
+    pad = k.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+
+def _conv_same_cout_padded(x, k, b, pad_to: int):
+    """Same conv, output channels zero-padded to `pad_to` then sliced.
+
+    XLA:TPU picks a pathological space-to-batch lowering for wide-in /
+    narrow-out 7x7 convs (64->32 at 1080p: 26.7 ms standalone); the same
+    conv padded to 64 outputs runs at 19.7 ms despite 2x the FLOPs."""
+    cout = k.shape[-1]
+    if pad_to <= cout or jax.default_backend() != "tpu":
+        return _conv_same(x, k, b)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_to - cout)))
+    bp = jnp.pad(b, (0, pad_to - cout))
+    return _conv_same(x, kp, bp)[..., :cout]
+
+
+def _conv_same_im2col_dot(x, k, b):
+    """Same conv as 7 shifted (HW, 7*Cin) x (7*Cin, Cout) matmuls.
+
+    For nearly-scalar output widths (the SpyNet flow head's 16->2) XLA's
+    conv lowering is launch-bound (22.4 ms standalone at 1080p); the
+    explicit im2col contraction runs in 8.9 ms."""
+    if jax.default_backend() != "tpu":
+        return _conv_same(x, k, b)
+    n, h, w, cin = x.shape
+    ks = k.shape[0]
+    p = ks // 2
+    cout = k.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    cols = jnp.concatenate([xp[:, :, i:i + w, :] for i in range(ks)],
+                           axis=-1)                 # (n, h+2p, w, ks*cin)
+    kk = k.reshape(ks, ks * cin, cout)              # [ky][(kx, ci)]
+    acc = jnp.zeros((n, h, w, cout), jnp.float32)
+    for ky in range(ks):
+        a = cols[:, ky:ky + h].reshape(n * h * w, ks * cin)
+        acc = acc + jnp.dot(a, kk[ky],
+                            preferred_element_type=jnp.float32
+                            ).reshape(n, h, w, cout)
+    return (acc + b.astype(jnp.float32)).astype(x.dtype)
+
+
 class MEBasic(nn.Module):
-    """One SpyNet pyramid level: five 7x7 convs (video_net.py:99-115)."""
+    """One SpyNet pyramid level: five 7x7 convs (video_net.py:99-115).
+
+    conv1/conv2/conv4 use XLA's conv; conv3 and conv5 route through
+    shape-specialized forms (see helpers above) that are faster for their
+    wide-in/narrow-out shapes on TPU. Parameters are identical to the plain
+    nn.Conv stack (Conv2dParams), so weight import is unchanged."""
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.relu(conv(32, 7)(name="conv1")(x))
-        x = jax.nn.relu(conv(64, 7)(name="conv2")(x))
-        x = jax.nn.relu(conv(32, 7)(name="conv3")(x))
-        x = jax.nn.relu(conv(16, 7)(name="conv4")(x))
-        return conv(2, 7)(name="conv5")(x)
+        cin = x.shape[-1]
+        k1, b1 = Conv2dParams(32, cin, name="conv1")()
+        k2, b2 = Conv2dParams(64, 32, name="conv2")()
+        k3, b3 = Conv2dParams(32, 64, name="conv3")()
+        k4, b4 = Conv2dParams(16, 32, name="conv4")()
+        k5, b5 = Conv2dParams(2, 16, name="conv5")()
+        x = jax.nn.relu(_conv_same(x, k1, b1))
+        x = jax.nn.relu(_conv_same(x, k2, b2))
+        x = jax.nn.relu(_conv_same_cout_padded(x, k3, b3, pad_to=64))
+        x = jax.nn.relu(_conv_same(x, k4, b4))
+        return _conv_same_im2col_dot(x, k5, b5)
 
 
 def enc_dec_models(input_ch: int, output_ch: int, ch: int):
