@@ -99,9 +99,19 @@ class VideoCodec:
                                     method="decompress_stage5")
             return idx_u8(s), carry2
 
+        # the stages carry f32 symbol planes (bf16 can't represent symbol
+        # magnitudes past 256 exactly), which upcasts the reconstruction;
+        # cast the emitted DPB back to the parameter dtype so frame t+1's
+        # encode chain stays in the model's compute dtype. Both encoder and
+        # decoder run this same program, so chaining stays bit-exact.
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
         def stage6_fn(p, y_q_r_1, carry, contexts, y_q):
-            return model.apply(p, y_q_r_1.astype(jnp.float32), carry,
-                               contexts, y_q, method="decompress_stage6")
+            out = model.apply(p, y_q_r_1.astype(jnp.float32), carry,
+                              contexts, y_q, method="decompress_stage6")
+            out["dpb"] = jax.tree_util.tree_map(
+                lambda v: v.astype(param_dtype), out["dpb"])
+            return out
 
         from ..models import common as cm
         self._enc_front = jax.jit(enc_front_fn)

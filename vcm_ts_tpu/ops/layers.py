@@ -273,10 +273,13 @@ class Conv2dParams(nn.Module):
 
 
 def _conv_same(x, k, b):
+    # promote like nn.Conv: mixed input/param dtypes meet at the wider one
+    # (the codec's decode stages carry f32 symbol planes through bf16 params)
+    dt = jnp.promote_types(x.dtype, k.dtype)
     pad = k.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        x, k, (1, 1), ((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        x.astype(dt), k.astype(dt), (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dt)
 
 
 def _conv_same_cout_padded(x, k, b, pad_to: int):
@@ -301,6 +304,8 @@ def _conv_same_im2col_dot(x, k, b):
     explicit im2col contraction runs in 8.9 ms."""
     if jax.default_backend() != "tpu":
         return _conv_same(x, k, b)
+    dt = jnp.promote_types(x.dtype, k.dtype)
+    x, k = x.astype(dt), k.astype(dt)
     n, h, w, cin = x.shape
     ks = k.shape[0]
     p = ks // 2
