@@ -35,12 +35,62 @@ def main():
     ap.add_argument("--pipelined-encode", action="store_true",
                     help="encode-only GOP throughput with host rANS "
                          "overlapped against device compute")
+    ap.add_argument("--train-step", action="store_true",
+                    help="training throughput: cascade RD step (f32, "
+                         "256x256 crops, batch=4 rate anchors, BPTT over "
+                         "--p-frames)")
+    ap.add_argument("--p-frames", type=int, default=2)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from vcm_ts_tpu.models.dmc import DMC, make_dpb
+
+    if args.train_step:
+        from vcm_ts_tpu.train.optimizer import make_stage_optimizer
+        from vcm_ts_tpu.train.stages import StageParams
+        from vcm_ts_tpu.train.train_step import make_cascade_step
+
+        model = DMC(anchor_num=4)
+        x0 = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0,
+                            1.0, method="init_all")
+        stage = StageParams(stage=3, p_frames=args.p_frames,
+                            trainable_mode="all", forward_method="cascade",
+                            loss_dist_key="mse",
+                            loss_rate_keys=("bpp_y", "bpp_z", "bpp_mv_y",
+                                            "bpp_mv_z"),
+                            lr=1e-4, perceptual_loss=False)
+        tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
+        step = make_cascade_step(model, tx, stage,
+                                 lambdas=[85.0, 170.0, 380.0, 840.0],
+                                 dist_lambda=1.0, pl_lambda=0.0)
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.random(
+            (args.p_frames, 4, 256, 256, 3)), jnp.float32)
+        dpb0 = make_dpb(xs[0])
+        key = jax.random.PRNGKey(0)
+        for _ in range(2):
+            params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
+                                               make_dpb(xs[0]), key)
+            _ = float(aux.loss[0])
+        t0 = time.perf_counter()
+        n_steps = max(args.frames // 4, 4)
+        for _ in range(n_steps):
+            params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
+                                               make_dpb(xs[0]), key)
+        _ = float(aux.loss[0])
+        dt = (time.perf_counter() - t0) / n_steps
+        fps = 4 * args.p_frames / dt  # frames consumed per second
+        print(json.dumps({
+            "metric": f"cascade train step frames/s (f32, 256x256, "
+                      f"batch=4 anchors, p_frames={args.p_frames}, BPTT)",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     h, w = (int(v) for v in args.size.split("x"))
 
