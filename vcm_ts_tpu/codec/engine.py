@@ -74,40 +74,40 @@ class VideoCodec:
                                    method="encode_latent")
             return y, _i16(z_hat)
 
+        # symbol planes enter the network in the parameter dtype: the
+        # encoder's rounded symbols are exactly representable there by
+        # construction (they were produced by round() in this dtype), and
+        # encoder/decoder share these programs, so the cast cannot desync
+        # the chain. Keeps the decode-side chain at bf16 speed in bf16 mode.
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
         def stage1_fn(p, mv_z_hat, dpb):
-            s, carry = model.apply(p, mv_z_hat.astype(jnp.float32), dpb,
+            s, carry = model.apply(p, mv_z_hat.astype(param_dtype), dpb,
                                    method="decompress_stage1")
             return idx_u8(s), carry
 
         def stage2_fn(p, mv_y_q_r_0, carry):
-            s, carry2 = model.apply(p, mv_y_q_r_0.astype(jnp.float32), carry,
+            s, carry2 = model.apply(p, mv_y_q_r_0.astype(param_dtype), carry,
                                     method="decompress_stage2")
             return idx_u8(s), carry2
 
         def stage3a_fn(p, mv_y_q_r_1, carry, dpb, mv_q, is_first_p):
-            return model.apply(p, mv_y_q_r_1.astype(jnp.float32), carry,
+            return model.apply(p, mv_y_q_r_1.astype(param_dtype), carry,
                                dpb, mv_q, is_first_p,
                                method="decompress_stage3a")
 
         def stage3b_fn(p, z_hat, context3, dpb):
-            s, carry = model.apply(p, z_hat.astype(jnp.float32), context3,
+            s, carry = model.apply(p, z_hat.astype(param_dtype), context3,
                                    dpb, method="decompress_stage3b")
             return idx_u8(s), carry
 
         def stage5_fn(p, y_q_r_0, carry):
-            s, carry2 = model.apply(p, y_q_r_0.astype(jnp.float32), carry,
+            s, carry2 = model.apply(p, y_q_r_0.astype(param_dtype), carry,
                                     method="decompress_stage5")
             return idx_u8(s), carry2
 
-        # the stages carry f32 symbol planes (bf16 can't represent symbol
-        # magnitudes past 256 exactly), which upcasts the reconstruction;
-        # cast the emitted DPB back to the parameter dtype so frame t+1's
-        # encode chain stays in the model's compute dtype. Both encoder and
-        # decoder run this same program, so chaining stays bit-exact.
-        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-
         def stage6_fn(p, y_q_r_1, carry, contexts, y_q):
-            out = model.apply(p, y_q_r_1.astype(jnp.float32), carry,
+            out = model.apply(p, y_q_r_1.astype(param_dtype), carry,
                               contexts, y_q, method="decompress_stage6")
             out["dpb"] = jax.tree_util.tree_map(
                 lambda v: v.astype(param_dtype), out["dpb"])
@@ -184,26 +184,25 @@ class VideoCodec:
         return {"bit_stream": self._host_encode(out), "dpb": out["dpb"]}
 
     def _host_encode(self, out) -> bytes:
-        """Turn one frame's device symbol planes into its rANS stream."""
-        mv_z = np.asarray(out["mv_z_hat"])
-        z = np.asarray(out["z_hat"])
+        """Turn one frame's device symbol planes into its rANS stream.
+
+        All ten planes come down in ONE device_get — sequential per-plane
+        fetches each pay a full tunnel/PCIe round trip."""
+        h = jax.device_get({k: v for k, v in out.items() if k != "dpb"})
         self.coder.reset_encoder()
         self.coder.encode_with_indexes(
-            mv_z, be.build_indexes(mv_z.shape), self.z_mv_table)
+            h["mv_z_hat"], be.build_indexes(h["mv_z_hat"].shape),
+            self.z_mv_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["mv_y_q_w_0"]), np.asarray(out["mv_idx_w_0"]),
-            self.y_table)
+            h["mv_y_q_w_0"], h["mv_idx_w_0"], self.y_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["mv_y_q_w_1"]), np.asarray(out["mv_idx_w_1"]),
-            self.y_table)
+            h["mv_y_q_w_1"], h["mv_idx_w_1"], self.y_table)
         self.coder.encode_with_indexes(
-            z, be.build_indexes(z.shape), self.z_table)
+            h["z_hat"], be.build_indexes(h["z_hat"].shape), self.z_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_0"]), np.asarray(out["idx_w_0"]),
-            self.y_table)
+            h["y_q_w_0"], h["idx_w_0"], self.y_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]),
-            self.y_table)
+            h["y_q_w_1"], h["idx_w_1"], self.y_table)
         return self.coder.flush_encoder()
 
     def compress_batch(self, x, dpb, mv_y_q_scale, y_q_scale,
@@ -413,25 +412,27 @@ class IntraCodec:
         def idx_u8(scales):
             return gauss.build_indexes(scales).astype(jnp.uint8)
 
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
         def enc_front_fn(p, x, q_scale):
             y, z_hat = model.apply(p, x, q_scale, method="encode_front")
             return y, _i16(z_hat)
 
         def stage1_fn(p, z_hat, q_scale):
             scales_r_0, carry = model.apply(
-                p, z_hat.astype(jnp.float32), q_scale,
+                p, z_hat.astype(param_dtype), q_scale,
                 method="decompress_stage1")
             return idx_u8(scales_r_0), carry
 
         def stage2_fn(p, y_q_r_0, carry):
             scales_r_1, carry2 = model.apply(
-                p, y_q_r_0.astype(jnp.float32), carry,
+                p, y_q_r_0.astype(param_dtype), carry,
                 method="decompress_stage2")
             return idx_u8(scales_r_1), carry2
 
         def stage3_fn(p, y_q_r_1, carry, q_scale):
             return model.apply(
-                p, y_q_r_1.astype(jnp.float32), carry, q_scale,
+                p, y_q_r_1.astype(param_dtype), carry, q_scale,
                 method="decompress_stage3")
 
         from ..models import common as cm
