@@ -477,16 +477,15 @@ class IntraCodec:
 
     def compress(self, x, q_scale) -> bytes:
         assert self.z_table is not None, "call update() first"
-        out = self._compress_planes(x, q_scale)
-        z_hat = np.asarray(out["z_hat"])
-        z_idx = be.build_indexes(z_hat.shape)
+        h = jax.device_get(self._compress_planes(x, q_scale))
+        z_idx = be.build_indexes(h["z_hat"].shape)
 
         self.coder.reset_encoder()
-        self.coder.encode_with_indexes(z_hat, z_idx, self.z_table)
+        self.coder.encode_with_indexes(h["z_hat"], z_idx, self.z_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_0"]), np.asarray(out["idx_w_0"]), self.y_table)
+            h["y_q_w_0"], h["idx_w_0"], self.y_table)
         self.coder.encode_with_indexes(
-            np.asarray(out["y_q_w_1"]), np.asarray(out["idx_w_1"]), self.y_table)
+            h["y_q_w_1"], h["idx_w_1"], self.y_table)
         return self.coder.flush_encoder()
 
     def compress_batch(self, x, q_scale):
