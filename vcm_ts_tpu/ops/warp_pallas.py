@@ -120,7 +120,7 @@ def flow_warp_pallas(im, flow, max_disp: int = 24, block_h: int = 8,
         in_specs=[
             pl.BlockSpec((1, 2, BH, wp), lambda n_, i, c_: (n_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, BC, BH, wp),
                                lambda n_, i, c_: (n_, c_, i, 0),
