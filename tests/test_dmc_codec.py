@@ -212,3 +212,71 @@ def test_decompress_batch_bit_identical_to_sequential(dmc):
             scale = np.abs(want).max()
             assert np.abs(got - want).max() <= 1e-4 * scale, \
                 f"stream {r} {key}: drift beyond 1e-4 of tensor scale"
+
+
+def test_encode_symbols_match_forward_dual_prior():
+    """The engine's encoder-side symbol quantization (against the decoder's
+    stage buffers) must equal forward_dual_prior's write-path symbols when
+    both see the same priors — the invariant the bit-exact encoder rests
+    on (common.py encoder-side notes)."""
+    from vcm_ts_tpu.models import common as cm
+
+    rng = np.random.default_rng(7)
+    n, h, w, c = 1, 8, 12, 16
+    y = jnp.asarray(rng.normal(0, 3, (n, h, w, c)), jnp.float32)
+    means = jnp.asarray(rng.normal(0, 1, (n, h, w, c)), jnp.float32)
+    scales = jnp.asarray(rng.random((n, h, w, c)) + 0.1, jnp.float32)
+    q_raw = jnp.asarray(rng.random((n, h, w, c)) + 0.2, jnp.float32)
+
+    def spatial_prior(params):
+        # deterministic fake prior: a fixed 2c-wide slice of the context
+        # (the concat layout is y_hat_0_0 | y_hat_1_1 | means | scales | q)
+        return params[..., c:3 * c] * 0.5
+
+    fwd = cm.forward_dual_prior(y, means, scales, q_raw, spatial_prior)
+
+    # decoder-side buffers, exactly as the engine derives them
+    q_step = jnp.maximum(q_raw, 0.5)
+    w0 = cm.encode_symbols_step0(y, means, q_step)
+    # reconstruct the write-path step-0 symbols from the forward outputs:
+    # y_q has both steps; mask out step 1
+    mask0, mask1 = cm.checkerboard_masks(h, w)
+    y_q_0, y_q_1 = jnp.split(fwd.y_q, 2, axis=-1)
+    ref_w0 = y_q_0 * mask0 + y_q_1 * mask1
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(ref_w0))
+
+    _, carry = cm.decompress_stage_b(w0, means, scales, q_step,
+                                     spatial_prior)
+    _, _, means_0, means_1 = carry
+    w1 = cm.encode_symbols_step1(y, means_0, means_1, q_step)
+    ref_w1 = y_q_0 * mask1 + y_q_1 * mask0
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(ref_w1))
+
+
+def test_bf16_chained_round_trip_bit_exact():
+    """In bf16 mode (the TPU serving configuration) chained encode/decode
+    must stay bit-exact: symbols are representable in the parameter dtype
+    by construction and both sides share the stage programs."""
+    model = DMC(anchor_num=4, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                        1.0, 1.0, method="init_all")
+    params = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16)
+        if v.dtype == jnp.float32 else v, params)
+    codec = VideoCodec(model, params)
+    codec.update()
+
+    frames = [jnp.asarray(f, jnp.bfloat16) for f in _frames(seed=11, n=4)]
+    enc_dpb = make_dpb(frames[0], 16, 24)
+    dec_dpb = make_dpb(frames[0], 16, 24)
+    for i, f in enumerate(frames[1:]):
+        out = codec.compress(f, enc_dpb, 0.7, 0.7, i == 0)
+        dec = codec.decompress(dec_dpb, out["bit_stream"], 64, 64,
+                               0.7, 0.7, i == 0)
+        enc_dpb = out["dpb"]
+        dec_dpb = dec["dpb"]
+        np.testing.assert_array_equal(
+            np.asarray(enc_dpb["ref_frame"], np.float32),
+            np.asarray(dec_dpb["ref_frame"], np.float32),
+            err_msg=f"bf16 chain diverged at frame {i}")
