@@ -320,33 +320,45 @@ class VideoCodec:
         for coder, stream in zip(coders, streams):
             coder.set_stream(stream)
 
+        # per-stream rANS decodes run on a thread pool: the native coder
+        # releases the GIL, so N streams decode on N cores (measured: host
+        # rANS is the batched-decode bottleneck at ~3.4 Msym/s/core — the
+        # device stages amortize, the host side must parallelize)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=min(n, 8))
+
         def read(per_stream_idx, table):
-            # one host read per stream; indexes may differ per stream
-            return jnp.asarray(np.concatenate(
-                [np.asarray(c.decode_stream(per_stream_idx[i], table),
-                            np.int16)
-                 for i, c in enumerate(coders)], axis=0))
+            outs = list(pool.map(
+                lambda ic: np.asarray(
+                    ic[1].decode_stream(per_stream_idx[ic[0]], table),
+                    np.int16),
+                enumerate(coders)))
+            return jnp.asarray(np.concatenate(outs, axis=0))
 
         def split(idx_batch):
             idx_batch = np.asarray(idx_batch)
             return [idx_batch[i:i + 1] for i in range(n)]
 
-        mv_z_hat = read([z_idx] * n, self.z_mv_table)
+        try:
+            mv_z_hat = read([z_idx] * n, self.z_mv_table)
 
-        idx0, carry = self._stage1(self.params, mv_z_hat, dpb)
-        mv_y_q_r_0 = read(split(idx0), self.y_table)
+            idx0, carry = self._stage1(self.params, mv_z_hat, dpb)
+            mv_y_q_r_0 = read(split(idx0), self.y_table)
 
-        idx1, carry = self._stage2(self.params, mv_y_q_r_0, carry)
-        mv_y_q_r_1 = read(split(idx1), self.y_table)
-        z_hat = read([z_idx] * n, self.z_table)
+            idx1, carry = self._stage2(self.params, mv_y_q_r_0, carry)
+            mv_y_q_r_1 = read(split(idx1), self.y_table)
+            z_hat = read([z_idx] * n, self.z_table)
 
-        contexts = self._stage3a(self.params, mv_y_q_r_1, carry, dpb,
-                                 mv_y_q_scale, is_first_p)
-        idx_y0, carry = self._stage3b(self.params, z_hat, contexts[2], dpb)
-        y_q_r_0 = read(split(idx_y0), self.y_table)
+            contexts = self._stage3a(self.params, mv_y_q_r_1, carry, dpb,
+                                     mv_y_q_scale, is_first_p)
+            idx_y0, carry = self._stage3b(self.params, z_hat, contexts[2],
+                                          dpb)
+            y_q_r_0 = read(split(idx_y0), self.y_table)
 
-        idx_y1, carry = self._stage5(self.params, y_q_r_0, carry)
-        y_q_r_1 = read(split(idx_y1), self.y_table)
+            idx_y1, carry = self._stage5(self.params, y_q_r_0, carry)
+            y_q_r_1 = read(split(idx_y1), self.y_table)
+        finally:
+            pool.shutdown(wait=True)
 
         out = self._stage6(self.params, y_q_r_1, carry, contexts,
                            y_q_scale)
@@ -543,21 +555,29 @@ class IntraCodec:
         for coder, stream in zip(coders, streams):
             coder.set_stream(stream)
 
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=min(n, 8))
+
         def read(per_stream_idx, table):
-            return jnp.asarray(np.concatenate(
-                [np.asarray(c.decode_stream(per_stream_idx[i], table),
-                            np.int16)
-                 for i, c in enumerate(coders)], axis=0))
+            outs = list(pool.map(
+                lambda ic: np.asarray(
+                    ic[1].decode_stream(per_stream_idx[ic[0]], table),
+                    np.int16),
+                enumerate(coders)))
+            return jnp.asarray(np.concatenate(outs, axis=0))
 
         def split(idx_batch):
             idx_batch = np.asarray(idx_batch)
             return [idx_batch[i:i + 1] for i in range(n)]
 
-        z_hat = read([z_idx] * n, self.z_table)
-        idx0, carry = self._stage1(self.params, z_hat, q_scale)
-        y_q_r_0 = read(split(idx0), self.y_table)
-        idx1, carry2 = self._stage2(self.params, y_q_r_0, carry)
-        y_q_r_1 = read(split(idx1), self.y_table)
+        try:
+            z_hat = read([z_idx] * n, self.z_table)
+            idx0, carry = self._stage1(self.params, z_hat, q_scale)
+            y_q_r_0 = read(split(idx0), self.y_table)
+            idx1, carry2 = self._stage2(self.params, y_q_r_0, carry)
+            y_q_r_1 = read(split(idx1), self.y_table)
+        finally:
+            pool.shutdown(wait=True)
         return self._stage3(self.params, y_q_r_1, carry2, q_scale)
 
     # ----------------------------------------------------------- encode+decode
