@@ -69,17 +69,20 @@ def main():
         rng = np.random.default_rng(0)
         xs = jnp.asarray(rng.random(
             (args.p_frames, 4, 256, 256, 3)), jnp.float32)
-        dpb0 = make_dpb(xs[0])
         key = jax.random.PRNGKey(0)
         for _ in range(2):
+            key, sub = jax.random.split(key)
             params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
-                                               make_dpb(xs[0]), key)
+                                               make_dpb(xs[0]), sub)
             _ = float(aux.loss[0])
         t0 = time.perf_counter()
         n_steps = max(args.frames // 4, 4)
         for _ in range(n_steps):
+            # split per step so the benched step matches real training's
+            # input pattern (fresh quantization noise each iteration)
+            key, sub = jax.random.split(key)
             params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
-                                               make_dpb(xs[0]), key)
+                                               make_dpb(xs[0]), sub)
         _ = float(aux.loss[0])
         dt = (time.perf_counter() - t0) / n_steps
         fps = 4 * args.p_frames / dt  # frames consumed per second

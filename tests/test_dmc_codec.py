@@ -280,3 +280,34 @@ def test_bf16_chained_round_trip_bit_exact():
             np.asarray(enc_dpb["ref_frame"], np.float32),
             np.asarray(dec_dpb["ref_frame"], np.float32),
             err_msg=f"bf16 chain diverged at frame {i}")
+
+
+def test_decode_gop_pipelined_matches_sequential(dmc):
+    """Pipelined GOP decoding (frame t+1's static-index mv_z plane
+    host-decoded while frame t's device stages run, DPB device-resident
+    across frames) must be bit-identical to sequential decompress()
+    calls on every chained frame."""
+    model, params, codec = dmc
+    codec.update()
+    frames = _frames(seed=9, n=4)
+    dpb0 = make_dpb(jnp.asarray(frames[0]))
+
+    streams, _ = codec.encode_gop(
+        [jnp.asarray(f) for f in frames[1:]], dpb0, 1.0, 1.0)
+
+    # sequential ground truth
+    dpb = dpb0
+    seq_recons = []
+    for i, s in enumerate(streams):
+        dec = codec.decompress(dpb, s, 64, 64, 1.0, 1.0, i == 0)
+        dpb = dec["dpb"]
+        seq_recons.append(np.asarray(dpb["ref_frame"]))
+
+    outs, final_dpb = codec.decode_gop(dpb0, streams, 64, 64, 1.0, 1.0)
+    assert len(outs) == 3
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(
+            np.asarray(out["dpb"]["ref_frame"]), seq_recons[i],
+            err_msg=f"pipelined decode diverged at chained frame {i}")
+    np.testing.assert_array_equal(np.asarray(final_dpb["ref_frame"]),
+                                  seq_recons[-1])

@@ -24,26 +24,30 @@ def model_and_params():
     return model, params
 
 
-def _chain(model, params, frames, flags):
-    """Reference chain: explicit is_first_p flags, rate anchor 0. Jitted the
-    same way as the eval path so numerics match bit-for-bit (eager vs jit
-    fusion differences otherwise amplify through the chained random-weight
-    model and flip post-clip values)."""
+def _chain(model, params, frames, flags, n_rates=2):
+    """Reference chain: explicit is_first_p flags, all rate anchors riding
+    the batch axis exactly like eval_object_detection's jitted forward (so
+    numerics match bit-for-bit — eager-vs-jit or batch-1-vs-batch-n fusion
+    differences otherwise amplify through the chained random-weight model
+    and flip post-clip values). Returns rate-0 rows."""
     from functools import partial
-
-    @partial(jax.jit, static_argnums=(5,))
-    def step(params, x, dpb, mv_q, y_q, is_first_p):
-        out = model.apply(params, x, dpb, mv_q, y_q, is_first_p,
-                          training=False)
-        return out["dpb"]
 
     mv_qs = params["params"]["mv_y_q_scale"]
     y_qs = params["params"]["y_q_scale"]
-    dpb = make_dpb(jnp.asarray(frames[0]), model.channel_N, model.channel_M)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def step(params, x, dpb, is_first_p):
+        out = model.apply(params, x, dpb, mv_qs[:n_rates], y_qs[:n_rates],
+                          is_first_p, training=False)
+        return out["dpb"]
+
+    x0 = jnp.tile(jnp.asarray(frames[0]), (n_rates, 1, 1, 1))
+    dpb = make_dpb(x0, model.channel_N, model.channel_M)
     decoded = []
     for x, flag in zip(frames[1:], flags):
-        dpb = step(params, jnp.asarray(x), dpb, mv_qs[0:1], y_qs[0:1], flag)
-        decoded.append(np.asarray(jnp.clip(dpb["ref_frame"], 0, 1)))
+        dpb = step(params, jnp.tile(jnp.asarray(x), (n_rates, 1, 1, 1)),
+                   dpb, flag)
+        decoded.append(np.asarray(jnp.clip(dpb["ref_frame"][0:1], 0, 1)))
     return decoded
 
 

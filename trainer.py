@@ -81,10 +81,21 @@ def train_model(cfg, args):
     test_loader = (make_data_loader(cfg, args.seed, is_train=False)
                    if cfg.DATASET.TEST_ROOT_DIRS else None)
 
+    # OD-mAP during training (reference train.py:308-337 ->
+    # validation.py:132-199): built when TEST_OD_ROOT_DIRS is configured;
+    # the detector adapter is pluggable and gates on its model zoo.
+    od_loader = detector_fn = None
+    if cfg.DATASET.TEST_OD_ROOT_DIRS:
+        from vcm_ts_tpu.data import make_object_detection_data_loader
+        from vcm_ts_tpu.eval.detector import build_eval_detector
+        od_loader = make_object_detection_data_loader(cfg)
+        detector_fn = build_eval_detector(cfg)
+
     return do_train(cfg, model, params, train_loader, checkpointer,
                     start_epoch=start_epoch, seed=args.seed,
                     test_loader=test_loader, i_frame_fn=i_frame_fn,
-                    pl_fn=pl_fn)
+                    pl_fn=pl_fn, od_loader=od_loader,
+                    detector_fn=detector_fn)
 
 
 def main():

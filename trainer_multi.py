@@ -89,10 +89,19 @@ def main():
     # every process — the jitted step's scalar inputs must agree globally.
     mesh = pm.make_global_mesh()
 
+    # OD-mAP eval is rank-0-only host work, same gating as trainer.py
+    od_loader = detector_fn = None
+    if rank == 0 and cfg.DATASET.TEST_OD_ROOT_DIRS:
+        from vcm_ts_tpu.data import make_object_detection_data_loader
+        from vcm_ts_tpu.eval.detector import build_eval_detector
+        od_loader = make_object_detection_data_loader(cfg)
+        detector_fn = build_eval_detector(cfg)
+
     do_train(cfg, model, params, train_loader, checkpointer,
              start_epoch=start_epoch, seed=args.seed,
              test_loader=test_loader, world_size=world_size,
-             is_main=(rank == 0), mesh=mesh)
+             is_main=(rank == 0), mesh=mesh, od_loader=od_loader,
+             detector_fn=detector_fn)
 
 
 if __name__ == "__main__":

@@ -26,8 +26,10 @@ from . import bitstream as bs
 def _i16(x):
     """Symbol planes cross the host boundary as int16: covers the coder's
     in-window symbols and any realistic bypass magnitudes, at 1/4 the f32
-    tunnel traffic."""
-    return jnp.clip(x, -32768, 32767).astype(jnp.int16)
+    tunnel traffic. Clip in int32: in bf16 mode 32767 is not representable
+    (nearest is 32768, out of int16 range), so clipping in the input dtype
+    would leave the saturated case implementation-defined."""
+    return jnp.clip(x.astype(jnp.int32), -32768, 32767).astype(jnp.int16)
 
 
 class VideoCodec:
@@ -252,6 +254,79 @@ class VideoCodec:
             streams.append(self._host_encode(pending))
         return streams, dpb
 
+    def decode_gop(self, dpb, streams, height: int, width: int,
+                   mv_y_q_scale, y_q_scale, is_first_p=True):
+        """Pipelined decoder for a burst of per-frame rANS streams
+        (VERDICT round-2 item 3; the decode-side dual of encode_gop).
+
+        The per-frame decode chain is inherently sequential — four device
+        index fetches interleave with the host rANS reads (the checkerboard
+        dual-prior's step-0/step-1 structure, video_model.py:354-422) — but
+        across FRAMES two things overlap:
+
+        - each frame owns its own stream, and the stream's leading mv_z
+          plane has STATIC indexes (channel ids), so frame t+1's mv_z can
+          host-decode and upload while frame t's device stages run;
+        - the next frame's stage-1 dispatch rides the async device queue
+          behind frame t's stage 6 — no host sync on the recon/DPB between
+          frames (the DPB stays device-side for the whole burst).
+
+        Under the axon tunnel each blocking index fetch costs a full
+        0.3-0.5 s round trip, so the four per-frame fetches set the floor
+        here; on host-attached TPU those are sub-ms PCIe reads and the
+        overlapped host rANS (the actual decode cost at ~3.4 Msym/s/core)
+        is what this pipelining hides.
+
+        Bit-identical to sequential decompress() calls (each frame uses
+        its own EntropyCoder on its own stream). Returns (list of per-frame
+        output dicts without host syncs, final dpb).
+        """
+        assert self.z_table is not None, "call update() first"
+        zh, zw = bs.get_downsampled_shape(height, width, 64)
+        z_shape = (1, zh, zw, self.model.channel_N)
+        z_idx = be.build_indexes(z_shape)
+
+        def up(symbols):
+            return jnp.asarray(np.asarray(symbols, np.int16))
+
+        coders = [EntropyCoder() for _ in streams]
+
+        def prefetch(i):
+            """Host-decode + upload stream i's leading static-index plane."""
+            coders[i].set_stream(streams[i])
+            return up(coders[i].decode_stream(z_idx, self.z_mv_table))
+
+        outs = []
+        mv_z_next = prefetch(0) if streams else None
+        for i in range(len(streams)):
+            coder = coders[i]
+            first = is_first_p and i == 0
+            idx0, carry = self._stage1(self.params, mv_z_next, dpb)
+            # overlap: next frame's mv_z host-decode happens while the
+            # device computes stage 1 (idx0 is fetched only below)
+            if i + 1 < len(streams):
+                mv_z_next = prefetch(i + 1)
+            mv_y_q_r_0 = coder.decode_stream(np.asarray(idx0), self.y_table)
+
+            idx1, carry = self._stage2(self.params, up(mv_y_q_r_0), carry)
+            mv_y_q_r_1 = coder.decode_stream(np.asarray(idx1), self.y_table)
+            z_hat = coder.decode_stream(z_idx, self.z_table)
+
+            contexts = self._stage3a(self.params, up(mv_y_q_r_1), carry,
+                                     dpb, mv_y_q_scale, first)
+            idx_y0, carry = self._stage3b(self.params, up(z_hat),
+                                          contexts[2], dpb)
+            y_q_r_0 = coder.decode_stream(np.asarray(idx_y0), self.y_table)
+
+            idx_y1, carry = self._stage5(self.params, up(y_q_r_0), carry)
+            y_q_r_1 = coder.decode_stream(np.asarray(idx_y1), self.y_table)
+
+            out = self._stage6(self.params, up(y_q_r_1), carry, contexts,
+                               y_q_scale)
+            dpb = out["dpb"]  # device-side; no host sync between frames
+            outs.append(out)
+        return outs, dpb
+
     # ------------------------------------------------------------- decompress
     def decompress(self, dpb, stream: bytes, height: int, width: int,
                    mv_y_q_scale, y_q_scale, is_first_p=False,
@@ -263,7 +338,10 @@ class VideoCodec:
 
         def up(symbols):
             # upload decoded symbols as int16 (4x less tunnel traffic); the
-            # device stages cast to f32
+            # device stages cast them to the parameter dtype. In bf16 mode
+            # that cast is exact for |v| <= 256 (8-bit mantissa), which
+            # covers the coder's in-window symbols, and the encoder runs
+            # the same stage programs so both sides see identical values.
             return jnp.asarray(np.asarray(symbols, np.int16))
 
         self.coder.set_stream(stream)

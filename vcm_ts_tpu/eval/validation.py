@@ -76,10 +76,20 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
     }
 
     # ------------------------------------------------- detection mAP branch
+    # stage.stage is the 0-based curriculum index; the reference gates on
+    # the 1-based stage number (train.py:316 passes stage+1), so +1 keeps
+    # OD_STAGE values transferable between config trees.
     if (od_loader is not None and detector_fn is not None
-            and stage.stage >= cfg.DATASET.OD_STAGE):
+            and stage.stage + 1 >= cfg.DATASET.OD_STAGE):
+        # The RD-eval i_frame_fn maps a rate-batched frame stack through
+        # per-row q scales; the OD chain re-keys ONE image at rate r, so
+        # adapt by tiling to the rate batch and slicing the wanted row.
+        n = len(lambdas)
+        od_i_fn = (None if i_frame_fn is None else
+                   lambda x, r: i_frame_fn(
+                       jnp.tile(jnp.asarray(x), (n, 1, 1, 1)))[r:r + 1])
         result["mean_ap"] = eval_object_detection(
-            model, params, cfg, lambdas, od_loader, detector_fn, i_frame_fn)
+            model, params, cfg, lambdas, od_loader, detector_fn, od_i_fn)
     elif od_loader is not None:
         logger.warning("OD loader given but no detector adapter available; "
                        "skipping mAP eval")
@@ -91,43 +101,47 @@ def eval_object_detection(model, params, cfg, lambdas, od_loader,
     """Detection-mAP protocol (validation.py:132-199): every OD_GOP_SIZE-th
     frame re-keyed via the I-frame path, others chained per rate anchor via
     the plain forward (the reference's forward_simple); detector runs on the
-    decoded frames; mAP per rate anchor."""
+    decoded frames; mAP per rate anchor.
+
+    The rate anchors ride the BATCH axis of one jitted forward (the q-scale
+    params are per-sample (N,1,1,1) tensors) — one device pass per frame
+    instead of the reference's sequential per-rate loop, cutting eval wall
+    clock ~n_rates x. The host-side detector still runs per decoded row."""
     from .detection_metrics import MeanAveragePrecision
 
     from functools import partial
 
     n = len(lambdas)
     maps = [MeanAveragePrecision() for _ in range(n)]
-    dpbs = [None] * n
+    dpb = None  # batched: row r is rate anchor r's chained DPB
     first_p = False  # True exactly for the first chained frame after a rekey
-
-    @partial(jax.jit, static_argnums=(5,))
-    def simple_forward(params, x, dpb, mv_q, y_q, is_first_p):
-        # The first P-frame after a GOP rekey must use the I-frame feature
-        # adaptor — the reference infers this from ref_feature being None
-        # (video_model.py:226-231); our dense DPB needs the explicit flag.
-        out = model.apply(params, x, dpb, mv_q, y_q, is_first_p,
-                          training=False)
-        return out["dpb"]
 
     mv_qs = params["params"]["mv_y_q_scale"]
     y_qs = params["params"]["y_q_scale"]
 
+    @partial(jax.jit, static_argnums=(3,))
+    def simple_forward(params, x, dpb, is_first_p):
+        # The first P-frame after a GOP rekey must use the I-frame feature
+        # adaptor — the reference infers this from ref_feature being None
+        # (video_model.py:226-231); our dense DPB needs the explicit flag.
+        out = model.apply(params, x, dpb, mv_qs[:n], y_qs[:n], is_first_p,
+                          training=False)
+        return out["dpb"]
+
     for idx, (image, annotations) in enumerate(od_loader):
         x = jnp.asarray(image[0])  # (1, H, W, C)
         rekey = idx % cfg.DATASET.OD_GOP_SIZE == 0
+        if rekey:
+            refs = [jnp.asarray(i_frame_fn(x, r)) if i_frame_fn is not None
+                    else x for r in range(n)]
+            dpb = make_dpb(jnp.concatenate(refs, axis=0), model.channel_N,
+                           model.channel_M)
+        else:
+            dpb = simple_forward(params, jnp.tile(x, (n, 1, 1, 1)), dpb,
+                                 first_p)
+        decoded = np.asarray(jnp.clip(dpb["ref_frame"], 0, 1))
         for r in range(n):
-            if rekey:
-                ref = i_frame_fn(x, r) if i_frame_fn is not None else x
-                dpbs[r] = make_dpb(jnp.asarray(ref), model.channel_N,
-                                   model.channel_M)
-                decoded = dpbs[r]["ref_frame"]
-            else:
-                dpbs[r] = simple_forward(params, x, dpbs[r],
-                                         mv_qs[r:r + 1], y_qs[r:r + 1],
-                                         first_p)
-                decoded = dpbs[r]["ref_frame"]
-            preds = detector_fn(np.asarray(jnp.clip(decoded, 0, 1)))
+            preds = detector_fn(decoded[r:r + 1])
             maps[r].update(preds, annotations[0])
         first_p = rekey
 

@@ -182,16 +182,16 @@ class SELayer(nn.Module):
     def __call__(self, x):
         # global mean as an MXU contraction: XLA's fused reduce over the
         # (HW, C) plane runs at ~110 GB/s on v5e (2.4 ms at 1080p); a
-        # ones-vector dot streams 1.7x faster. Batched inputs (training)
-        # keep the plain reduce.
+        # ones-vector dot streams 1.7x faster. One algorithm for every
+        # batch size (batched einsum, f32 accumulate) so single-frame and
+        # batched codec paths produce identical DPBs — SE feeds the recon
+        # UNets, and a per-n reduction-order difference would desync
+        # chained rANS streams across compress()/compress_batch().
         n, h, w, c = x.shape
-        if n == 1:
-            ones = jnp.ones((1, h * w), x.dtype)
-            y = (jnp.dot(ones, x.reshape(h * w, c),
-                         preferred_element_type=jnp.float32)
-                 / (h * w)).astype(x.dtype)
-        else:
-            y = jnp.mean(x, axis=(1, 2))
+        ones = jnp.ones((h * w,), x.dtype)
+        y = (jnp.einsum("s,nsc->nc", ones, x.reshape(n, h * w, c),
+                        preferred_element_type=jnp.float32)
+             / (h * w)).astype(x.dtype)
         y = Seq(parts=(
             ("0", partial(nn.Dense, self.features // self.reduction,
                           use_bias=False, kernel_init=kernel_init)),

@@ -43,7 +43,7 @@ def do_train(cfg, model, params, data_loader, checkpointer,
              world_size: int = 1, is_main: bool = True,
              writer: Optional[MetricWriter] = None,
              max_iterations_per_epoch: Optional[int] = None,
-             mesh=None):
+             mesh=None, od_loader=None, detector_fn=None):
     """Runs the full stage curriculum; returns final params.
 
     With `mesh` (a jax.sharding.Mesh with a "data" axis, possibly spanning
@@ -148,9 +148,13 @@ def do_train(cfg, model, params, data_loader, checkpointer,
             host_opt = (pm.host_copy(opt_state) if multiprocess
                         else opt_state)
             if test_loader is not None:
+                # the OD-mAP branch (reference train.py:308-337) activates
+                # once the curriculum reaches cfg.DATASET.OD_STAGE
                 eval_metrics = eval_dataset(
                     model, host_params, stage, test_loader, cfg, lambdas,
-                    i_frame_fn=i_frame_fn, pl_fn=pl_fn)
+                    i_frame_fn=i_frame_fn, pl_fn=pl_fn,
+                    od_loader=od_loader,
+                    detector_fn=detector_fn)
                 if writer is not None:
                     writer.add_metrics("eval", eval_metrics, lambdas,
                                        global_step)
