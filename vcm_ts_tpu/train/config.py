@@ -51,6 +51,10 @@ def default_training_cfg() -> CfgNode:
     cfg.SOLVER.PL_LAMBDA = 1e1
     cfg.SOLVER.DIST_LAMBDA = 1.0
     cfg.SOLVER.LR = 1e-4
+    # global-norm gradient clipping; 0 disables (= reference behavior,
+    # which always fine-tunes from pretrained DCVC weights). From-scratch
+    # training needs ~1.0: random-init rate estimates explode.
+    cfg.SOLVER.GRAD_CLIP_NORM = 0.0
     # 8-field stage tuples:
     # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
     #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]

@@ -62,15 +62,24 @@ def trainable_mask(params, mode: str):
     return mask_inner
 
 
-def make_optimizer(lr: float, mask=None) -> optax.GradientTransformation:
+def make_optimizer(lr: float, mask=None,
+                   grad_clip_norm: float = 0.0) -> optax.GradientTransformation:
     """AdamW(0.9, 0.99), wd=0.01, optionally restricted to the trainable set.
 
     Frozen leaves get set_to_zero (NOT optax.masked, which passes raw
     gradients through unchanged for masked-out leaves — that would apply
     unscaled gradient ascent to frozen params whenever the loss touches
     them, e.g. recon-path params under cascade BPTT with an inter-only
-    stage)."""
+    stage).
+
+    grad_clip_norm > 0 prepends global-norm clipping. The reference has no
+    clipping (it always starts from pretrained DCVC weights); training
+    from scratch needs it — at random init the factorized/gaussian rate
+    estimates explode (-log2 of vanishing tail mass), and those gradients
+    blow up the recurrent DPB chain."""
     tx = optax.adamw(learning_rate=lr, b1=0.9, b2=0.99, weight_decay=0.01)
+    if grad_clip_norm and grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     if mask is None:
         return tx
     labels = jax.tree_util.tree_map(
@@ -79,9 +88,10 @@ def make_optimizer(lr: float, mask=None) -> optax.GradientTransformation:
         {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
-def make_stage_optimizer(params, mode: str, lr: float):
+def make_stage_optimizer(params, mode: str, lr: float,
+                         grad_clip_norm: float = 0.0):
     """Build (tx, opt_state) for a stage. Fresh moments per stage, matching
     the DDP reference's stage-boundary re-init (train_multi.py:194-200)."""
     mask = trainable_mask(params, mode)
-    tx = make_optimizer(lr, mask)
+    tx = make_optimizer(lr, mask, grad_clip_norm)
     return tx, tx.init(params)

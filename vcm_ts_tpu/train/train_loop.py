@@ -93,7 +93,9 @@ def do_train(cfg, model, params, data_loader, checkpointer,
             cur_stage_idx = stage.stage
             logger.info("Entering stage %d: %s", stage.stage, stage)
             tx, opt_state = make_stage_optimizer(
-                params, stage.trainable_mode, stage.lr * lr_scale)
+                params, stage.trainable_mode, stage.lr * lr_scale,
+                grad_clip_norm=float(
+                    getattr(cfg.SOLVER, "GRAD_CLIP_NORM", 0.0)))
             if mesh is not None:
                 params = pm.replicate(params, mesh)
                 opt_state = pm.replicate(opt_state, mesh)
