@@ -59,6 +59,11 @@ def main():
     import jax.numpy as jnp
 
     from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.utils.common import enable_compilation_cache
+
+    # the tunnel compile service is slow and variable (5-30 min cold for a
+    # 1080p program); the persistent cache makes warmed re-runs instant
+    enable_compilation_cache()
 
     if args.train_step:
         from vcm_ts_tpu.train.optimizer import make_stage_optimizer

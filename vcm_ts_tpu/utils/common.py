@@ -114,3 +114,31 @@ def generate_log_json(frame_num, frame_types, bits, psnrs, ssims,
         "decoded": decoded,
     }
     return log
+
+
+def enable_compilation_cache(cache_dir: str | None = None,
+                             min_compile_secs: float = 2.0) -> str:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The tunnel-attached TPU's compile service is slow and variable (a
+    1080p program can take 5-30 min to compile cold); the persistent cache
+    makes every subsequent process start instantly for already-seen
+    programs — bench.py and the entry points call this so repeated bench /
+    driver runs hit warm programs. Safe no-op if the backend ignores it."""
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "artifacts", "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return cache_dir
