@@ -143,6 +143,72 @@ def test_dmc_forward_one_frame_parity(reference_modules):
                 err_msg=f"dpb.{key} mismatch (is_first_p={is_first_p})")
 
 
+def test_dmc_chained_dpb_parity(reference_modules):
+    """Several-frame chained-DPB parity: both models consume their OWN
+    previous dpb output for 3 P-frames (the recurrent regime the codec
+    actually runs — reference test_video.py:120-182 GOP loop), so any
+    drift between the implementations compounds instead of being masked
+    by a fresh shared dpb each frame."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.utils.weight_export import flax_to_torch_state_dict
+
+    TorchDMC, _ = reference_modules
+
+    model = DMC(anchor_num=4)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(2), x0, make_dpb(x0, 64, 96),
+                        1.0, 1.0, method="init_all")
+    params = _damp_kernels(params)
+
+    tmodel = TorchDMC(anchor_num=4)
+    sd = {k: torch.from_numpy(v)
+          for k, v in flax_to_torch_state_dict(params).items()}
+    tmodel.load_state_dict(sd, strict=True)
+    tmodel.eval()
+
+    rng = np.random.default_rng(7)
+    base = rng.random((1, 8, 8, 3)).astype(np.float32)
+    frames = [np.kron(np.roll(base, t, axis=2),
+                      np.ones((1, 8, 8, 1))).astype(np.float32)
+              for t in range(4)]
+
+    dpb_j = make_dpb(jnp.asarray(frames[0]), 64, 96)
+    dpb_t = {"ref_frame": _nchw(frames[0]), "ref_feature": None,
+             "ref_y": None, "ref_mv_y": None}
+
+    fwd = jax.jit(
+        lambda p, x, d, first: model.apply(p, x, d, 0.8, 1.2, first,
+                                           training=False),
+        static_argnums=(3,))
+
+    for t, x in enumerate(frames[1:], start=1):
+        is_first_p = t == 1
+        out_j = fwd(params, jnp.asarray(x), dpb_j, is_first_p)
+        with torch.no_grad():
+            out_t = tmodel.forward_one_frame(
+                _nchw(x), dpb_t,
+                mv_y_q_scale=torch.tensor(0.8), y_q_scale=torch.tensor(1.2))
+        # tolerances widen with depth: f32 reassociation drift compounds
+        # through the recurrent ref_feature/ref_y planes
+        rtol, atol = 2e-3 * t, 5e-4 * t
+        for key in ("bpp", "mse"):
+            np.testing.assert_allclose(
+                np.asarray(out_j[key]), out_t[key].numpy(),
+                rtol=rtol, atol=1e-5 * t,
+                err_msg=f"{key} mismatch at chained frame {t}")
+        for key in ("ref_frame", "ref_feature", "ref_y", "ref_mv_y"):
+            np.testing.assert_allclose(
+                np.asarray(out_j["dpb"][key]), _nhwc(out_t["dpb"][key]),
+                rtol=rtol, atol=atol,
+                err_msg=f"dpb.{key} mismatch at chained frame {t}")
+        dpb_j = out_j["dpb"]
+        dpb_t = {k: v for k, v in out_t["dpb"].items()}
+
+
 def test_intra_forward_parity(reference_modules):
     import jax
     import jax.numpy as jnp
