@@ -122,3 +122,37 @@ def test_interleaved_planes_one_stream():
     coder.set_stream(stream)
     np.testing.assert_array_equal(coder.decode_stream(z_idx, z_table), z)
     np.testing.assert_array_equal(coder.decode_stream(y_idx, y_table), y)
+
+
+def test_shipped_gaussian_tables_present_and_consistent():
+    """The shipped format constant (tools/gen_gaussian_tables.py) must be
+    packaged, parse, and agree with the analytic fallback on everything
+    except sleef-vs-numpy count rounding: same window sizes/offsets, every
+    row a valid 16-bit CDF, and counts within 1 of the fallback's."""
+    from vcm_ts_tpu.entropy import gaussian as g
+
+    for dist in ("laplace", "gaussian"):
+        shipped = g._load_shipped(dist)
+        assert shipped is not None, "gaussian_cdf.npz missing from package"
+        gc = g.GaussianCoder(dist)
+        assert gc.build_table() is shipped  # default path serves the constant
+
+        # analytic numpy fallback: identical symbol windows (the shipped
+        # constant and the f64 rebuild must agree on sizes/offsets — only
+        # quantized counts may differ, by ~0.15% of 2^16 where the f32 vs
+        # f64 CDF evaluation diverges in the distribution tails)
+        orig = g._load_shipped
+        g._load_shipped = lambda d: None
+        try:
+            fallback = gc.build_table()
+        finally:
+            g._load_shipped = orig
+        np.testing.assert_array_equal(shipped.sizes, fallback.sizes)
+        np.testing.assert_array_equal(shipped.offsets, fallback.offsets)
+        for i, s in enumerate(shipped.sizes):
+            row = shipped.cdf[i, :s]
+            assert row[0] == 0 and row[-1] == 1 << 16
+            assert (np.diff(row) > 0).all(), f"{dist} row {i} not strict"
+            np.testing.assert_allclose(
+                row, fallback.cdf[i, :s], atol=0.002 * (1 << 16),
+                err_msg=f"{dist} row {i}")

@@ -73,6 +73,48 @@ def build_indexes(shape) -> np.ndarray:
         np.arange(c, dtype=np.int32)[None, None, None, :], (n, h, w, c))
 
 
+def _torch_cdf_fn(params):
+    """Exact-interop CDF evaluator: the same f32 arithmetic (sleef-rounded
+    tanh/sigmoid/softplus) the reference ecosystem's tables are defined by.
+
+    The quantized table IS part of the bitstream format, and torch-f32 vs
+    XLA-f32 transcendentals differ by ~1 ulp — enough to flip quantized
+    counts in ~1/3 of rows and desync a cross-framework rANS decode
+    (measured; see tests/test_full_cross_decode.py). torch is optional:
+    without it the jax path below builds self-consistent tables that are
+    not byte-interoperable with reference-encoded streams. Verified
+    shape-invariant (vectorized body and scalar tail round identically),
+    so evaluating on (K, C) grids matches the reference's (C, 1, K) eval.
+    """
+    try:
+        import torch
+    except ImportError:
+        return None
+    p = params["params"]
+    layers = []
+    for name in ("f1", "f2", "f3", "f4"):
+        lp = p[name]
+        # f32 eval regardless of the param dtype (bf16 -> f32 is exact,
+        # and the table must not depend on the inference dtype)
+        def t(v):
+            return torch.from_numpy(
+                np.asarray(v, dtype=np.float32).reshape(-1).copy())
+        layers.append((t(lp["h"]), t(lp["b"]),
+                       None if "a" not in lp else t(lp["a"])))
+
+    def cdf(x_np):  # (..., C) numpy f32 -> (..., C) numpy f32
+        import torch.nn.functional as F
+        with torch.no_grad():
+            x = torch.from_numpy(np.ascontiguousarray(x_np, dtype=np.float32))
+            for h, b, a in layers:
+                x = x * F.softplus(h) + b
+                if a is not None:
+                    x = x + torch.tanh(x) * torch.tanh(a)
+            return torch.sigmoid(x).numpy()
+
+    return cdf
+
+
 def build_table(bit_estimator: BitEstimator, params,
                 search_range: int = 50) -> CdfTable:
     """Build quantized per-channel CDF rows (the reference's
@@ -83,13 +125,34 @@ def build_table(bit_estimator: BitEstimator, params,
     [1e-4, 0.9999], then quantizes the windowed PMF plus escape tail.
     """
     c = bit_estimator.channel
+    torch_cdf = _torch_cdf_fn(params)
 
-    @jax.jit
-    def cdf_at(v):  # v: (K,) -> (K, C)
-        x = jnp.broadcast_to(v[:, None, None, None], (v.shape[0], 1, 1, c))
-        return bit_estimator.apply(params, x)[:, 0, 0, :]
+    if torch_cdf is not None:
+        def cdf_at(v):  # (K,) -> (K, C)
+            v = np.asarray(v, dtype=np.float32)
+            return torch_cdf(np.broadcast_to(v[:, None], (v.shape[0], c)))
 
-    ints = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
+        def cdf_grid(s):  # (C, K) -> (C, K)
+            return torch_cdf(np.asarray(s, dtype=np.float32).T).T
+    else:
+        @jax.jit
+        def _cdf_at(v):  # v: (K,) -> (K, C)
+            x = jnp.broadcast_to(v[:, None, None, None],
+                                 (v.shape[0], 1, 1, c))
+            return bit_estimator.apply(params, x)[:, 0, 0, :]
+
+        @jax.jit
+        def _cdf_grid(s):  # s: (C, K) -> (C, K)
+            x = s.T[:, None, None, :]  # (K,1,1,C)
+            return bit_estimator.apply(params, x)[:, 0, 0, :].T
+
+        def cdf_at(v):
+            return np.asarray(_cdf_at(jnp.asarray(v)))
+
+        def cdf_grid(s):
+            return np.asarray(_cdf_grid(jnp.asarray(s)))
+
+    ints = np.arange(-search_range, search_range + 1, dtype=np.float32)
     probs = np.asarray(cdf_at(ints))  # (2R+1, C)
 
     idx = np.arange(2, search_range + 1)
@@ -112,13 +175,8 @@ def build_table(bit_estimator: BitEstimator, params,
     # samples[c, k] = pmf_start[c] + k
     samples = pmf_start[:, None] + np.arange(max_length, dtype=np.float32)[None, :]
 
-    @jax.jit
-    def cdf_grid(s):  # s: (C, K) -> (C, K)
-        x = s.T[:, None, None, :]  # (K,1,1,C)
-        return bit_estimator.apply(params, x)[:, 0, 0, :].T
-
-    lower = np.asarray(cdf_grid(jnp.asarray(samples - 0.5)))
-    upper = np.asarray(cdf_grid(jnp.asarray(samples + 0.5)))
+    lower = np.asarray(cdf_grid(samples - 0.5))
+    upper = np.asarray(cdf_grid(samples + 0.5))
     pmf = upper - lower
     # Escape mass: everything left of the window plus right of the *global*
     # last sample (reference quirk kept: uses column -1, not per-row ends).

@@ -10,11 +10,30 @@ quantized CDFs drive the host rANS coder. Index computation runs on device
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
 
 from .tables import CdfTable, build_cdf_table
+
+_SHIPPED = os.path.join(os.path.dirname(__file__), "data", "gaussian_cdf.npz")
+_shipped_cache: dict = {}
+
+
+def _load_shipped(distribution: str) -> CdfTable | None:
+    """Shipped quantized-CDF format constant (tools/gen_gaussian_tables.py)."""
+    if distribution in _shipped_cache:
+        return _shipped_cache[distribution]
+    table = None
+    if os.path.exists(_SHIPPED):
+        with np.load(_SHIPPED) as z:
+            table = CdfTable(
+                cdf=z[f"{distribution}_cdf"].copy(),
+                sizes=z[f"{distribution}_sizes"].copy(),
+                offsets=z[f"{distribution}_offsets"].copy())
+    _shipped_cache[distribution] = table
+    return table
 
 
 class GaussianCoder:
@@ -48,7 +67,20 @@ class GaussianCoder:
         return 0.5 * (1.0 + erf(x / (scale * math.sqrt(2.0))))
 
     def build_table(self, search_range: int = 50) -> CdfTable:
-        """Quantized CDF rows per scale level (entropy_models.py:224-262)."""
+        """Quantized CDF rows per scale level (entropy_models.py:224-262).
+
+        Loads the shipped format constant when available: the table is
+        weight-independent, and the ecosystem's stream format pins it to
+        torch-f32 arithmetic (sleef-rounded expm1/erf), which a numpy
+        rebuild reproduces only to ~1 ulp — enough to flip quantized
+        counts in 12/256 rows and desync cross-framework rANS decode.
+        `tools/gen_gaussian_tables.py` bakes the exact constant once; the
+        analytic rebuild below is the fallback (self-consistent, but not
+        byte-interoperable with reference streams)."""
+        if search_range == 50:
+            shipped = _load_shipped(self.distribution)
+            if shipped is not None:
+                return shipped
         scales = self.scale_table  # (L,)
         idx = np.arange(2, search_range + 1)
         # pmf_center: smallest i in [2, R] with cdf(i) > 0.9999, else R
