@@ -93,6 +93,56 @@ def test_do_train_runs_od_map_eval(tmp_path):
     assert values["eval/mean_ap/lambda_85.0"] == 1.0
 
 
+def test_do_train_detection_only_eval(tmp_path):
+    """TEST_OD_ROOT_DIRS without TEST_ROOT_DIRS: do_train has no RD test
+    loader (test_loader=None) but must still reach the mAP branch —
+    round-3 review finding (the gate used to be `if test_loader is not
+    None`, silently dropping detection-only configs)."""
+    cfg = default_training_cfg()
+    cfg.MODEL.CHANNELS = [16, 16, 24]
+    cfg.SOLVER.LAMBDAS = [85.0, 170.0]
+    cfg.SOLVER.STAGES = [
+        ["1", "all", "single", "rec", "all", "0.0001", "1", "false"]]
+    cfg.DATASET.OD_STAGE = 1
+    cfg.DATASET.OD_GOP_SIZE = 2
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.BEST_SAMPLES_NUM = 0
+    cfg.TENSORBOARD.WORST_SAMPLES_NUM = 0
+    cfg.freeze()
+
+    model = DMC(anchor_num=2, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                        1.0, 1.0, method="init_all")
+
+    ann = {"boxes": np.array([[2.0, 2.0, 30.0, 30.0]], np.float32),
+           "labels": np.array([1], np.int64)}
+    rng = np.random.default_rng(1)
+    od_loader = [([rng.random((1, 64, 64, 3)).astype(np.float32)], [ann])
+                 for _ in range(2)]
+
+    calls = []
+
+    def stub_detector(decoded):
+        calls.append(decoded.shape)
+        return {"boxes": ann["boxes"], "labels": ann["labels"],
+                "scores": np.array([0.95], np.float32)}
+
+    do_train(cfg, model, params, _SeqLoader(2), checkpointer=None,
+             test_loader=None, od_loader=od_loader,
+             detector_fn=stub_detector)
+
+    assert len(calls) == 2 * 2  # (frames x rates)
+    metrics_path = os.path.join(str(tmp_path), "metrics.jsonl")
+    tags = set()
+    with open(metrics_path) as f:
+        for line in f:
+            tags.add(json.loads(line)["tag"])
+    assert "eval/mean_ap/lambda_85.0" in tags
+    # no RD loader -> no RD eval scalars, and no crash on their absence
+    assert "eval/loss/lambda_85.0" not in tags
+
+
 def test_do_train_skips_od_before_stage(tmp_path):
     """Below OD_STAGE the detector must not run (reference gates on
     `stage >= cfg.DATASET.OD_STAGE`)."""

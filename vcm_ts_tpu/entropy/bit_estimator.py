@@ -127,6 +127,18 @@ def build_table(bit_estimator: BitEstimator, params,
     c = bit_estimator.channel
     torch_cdf = _torch_cdf_fn(params)
 
+    if torch_cdf is None:
+        # The table IS the stream format: torch-f32 and XLA-f32 tables can
+        # quantize differently (module docstring), and the container has no
+        # field recording which variant encoded a stream (byte-compat with
+        # the reference forbids adding one). Make the hazard visible.
+        import logging
+        logging.getLogger("CORE").warning(
+            "torch not importable: building CDF tables with XLA-f32 "
+            "arithmetic. Streams coded with these tables are "
+            "self-consistent but may NOT be decodable by a torch-backed "
+            "host (or by the reference), and vice versa.")
+
     if torch_cdf is not None:
         def cdf_at(v):  # (K,) -> (K, C)
             v = np.asarray(v, dtype=np.float32)

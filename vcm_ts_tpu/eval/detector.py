@@ -82,8 +82,11 @@ def _build_yolo(cfg):
     det = YOLO(os.path.join("pretrained", "yolov8m.pt"))
 
     def adapter(decoded):
-        res = det.predict((decoded * 255).astype(np.uint8)[0],
-                          verbose=False)[0]
+        # ultralytics interprets a raw numpy HWC array as an OpenCV BGR
+        # image; the pipeline hands us RGB, so swap channels (and round
+        # rather than truncate the [0,1] -> uint8 conversion).
+        img = np.rint(decoded[0, :, :, ::-1] * 255).astype(np.uint8)
+        res = det.predict(np.ascontiguousarray(img), verbose=False)[0]
         return {"boxes": res.boxes.xyxy.cpu().numpy(),
                 "labels": res.boxes.cls.cpu().numpy().astype(np.int64),
                 "scores": res.boxes.conf.cpu().numpy()}

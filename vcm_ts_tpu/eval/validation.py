@@ -46,7 +46,10 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
                           pl_fn=pl, noise_rng=rng, is_first_p=is_first_p,
                           training=False)
 
-    for inputs, targets in data_loader:
+    # data_loader may be None for detection-only eval (TEST_OD_ROOT_DIRS
+    # configured without TEST_ROOT_DIRS): skip the RD sweep, keep the mAP
+    # branch reachable.
+    for inputs, targets in (data_loader or ()):
         t = inputs.shape[1]
         p_frames = min(stage.p_frames, t - 1)
         for t_i in range(t - p_frames):
@@ -66,7 +69,7 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
                 bpps.append(np.asarray(aux.bpp))
                 psnrs.append(np.asarray(aux.psnr))
 
-    result = {
+    result = {} if not losses else {
         "loss": np.mean(losses, axis=0),
         "rate": np.mean(rates, axis=0),
         "dist": np.mean(dists, axis=0),
@@ -82,12 +85,13 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
     if (od_loader is not None and detector_fn is not None
             and stage.stage + 1 >= cfg.DATASET.OD_STAGE):
         # The RD-eval i_frame_fn maps a rate-batched frame stack through
-        # per-row q scales; the OD chain re-keys ONE image at rate r, so
-        # adapt by tiling to the rate batch and slicing the wanted row.
+        # per-row q scales; the OD rekey wants all n rate rows of ONE
+        # image, so tile once and run the batched forward once per rekey
+        # (not once per rate row).
         n = len(lambdas)
         od_i_fn = (None if i_frame_fn is None else
-                   lambda x, r: i_frame_fn(
-                       jnp.tile(jnp.asarray(x), (n, 1, 1, 1)))[r:r + 1])
+                   lambda x: i_frame_fn(
+                       jnp.tile(jnp.asarray(x), (n, 1, 1, 1))))
         result["mean_ap"] = eval_object_detection(
             model, params, cfg, lambdas, od_loader, detector_fn, od_i_fn)
     elif od_loader is not None:
@@ -132,10 +136,12 @@ def eval_object_detection(model, params, cfg, lambdas, od_loader,
         x = jnp.asarray(image[0])  # (1, H, W, C)
         rekey = idx % cfg.DATASET.OD_GOP_SIZE == 0
         if rekey:
-            refs = [jnp.asarray(i_frame_fn(x, r)) if i_frame_fn is not None
-                    else x for r in range(n)]
-            dpb = make_dpb(jnp.concatenate(refs, axis=0), model.channel_N,
-                           model.channel_M)
+            # i_frame_fn maps (1,H,W,C) -> all n rate rows in one batched
+            # I-frame pass (rate anchors ride the batch axis here too)
+            ref_batch = (jnp.asarray(i_frame_fn(x))
+                         if i_frame_fn is not None
+                         else jnp.tile(x, (n, 1, 1, 1)))
+            dpb = make_dpb(ref_batch, model.channel_N, model.channel_M)
         else:
             dpb = simple_forward(params, jnp.tile(x, (n, 1, 1, 1)), dpb,
                                  first_p)

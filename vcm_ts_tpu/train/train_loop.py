@@ -142,16 +142,18 @@ def do_train(cfg, model, params, data_loader, checkpointer,
         if tracker is not None and writer is not None:
             tracker.write(writer, global_step)
 
-        if is_main and (test_loader is not None or checkpointer is not None):
+        if is_main and (test_loader is not None or od_loader is not None
+                        or checkpointer is not None):
             # Rank-0-only work must not touch process-spanning arrays:
             # replicated globals are fetched to host first (the reference's
             # rank-0 .module unwrap, train_multi.py:515-529).
             host_params = (pm.host_copy(params) if multiprocess else params)
             host_opt = (pm.host_copy(opt_state) if multiprocess
                         else opt_state)
-            if test_loader is not None:
+            if test_loader is not None or od_loader is not None:
                 # the OD-mAP branch (reference train.py:308-337) activates
-                # once the curriculum reaches cfg.DATASET.OD_STAGE
+                # once the curriculum reaches cfg.DATASET.OD_STAGE;
+                # test_loader may be None for detection-only eval configs
                 eval_metrics = eval_dataset(
                     model, host_params, stage, test_loader, cfg, lambdas,
                     i_frame_fn=i_frame_fn, pl_fn=pl_fn,

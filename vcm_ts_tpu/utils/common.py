@@ -133,8 +133,8 @@ def enable_compilation_cache(cache_dir: str | None = None,
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), "artifacts", "xla_cache")
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
