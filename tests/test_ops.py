@@ -225,3 +225,25 @@ def test_flow_warp_narrow_channels_matches_torch():
                          align_corners=True)
     np.testing.assert_allclose(np.asarray(out), nhwc(tout), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_debug_nans_sanitizer_raises_at_producing_op():
+    """cfg.SOLVER.DEBUG_NANS wiring (utils/common.enable_debug_nans): a NaN
+    produced inside a jitted program must raise FloatingPointError instead
+    of silently poisoning downstream training state."""
+    import jax
+
+    from vcm_ts_tpu.utils.common import enable_debug_nans
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x) * 2.0
+
+    enable_debug_nans()
+    try:
+        with np.testing.assert_raises(FloatingPointError):
+            jax.block_until_ready(bad(jnp.asarray(-1.0)))
+        # and clean inputs still work with the sanitizer on
+        assert np.isfinite(float(bad(jnp.asarray(1.0))))
+    finally:
+        enable_debug_nans(False)

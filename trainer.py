@@ -22,10 +22,13 @@ def train_model(cfg, args):
     from vcm_ts_tpu.models.dmc import DMC, make_dpb
     from vcm_ts_tpu.train.checkpoint import CheckPointer
     from vcm_ts_tpu.train.train_loop import do_train
-    from vcm_ts_tpu.utils.common import interpolate_log
+    from vcm_ts_tpu.utils.common import enable_debug_nans, interpolate_log
     from vcm_ts_tpu.utils.logger import setup_logger
 
     logger = setup_logger("CORE", 0, cfg.OUTPUT_DIR)
+    if cfg.SOLVER.DEBUG_NANS:
+        enable_debug_nans()
+        logger.info("debug_nans sanitizer ON (steps serialize; debug only)")
 
     cmv, cn, cm = cfg.MODEL.CHANNELS
     model = DMC(anchor_num=len(cfg.SOLVER.LAMBDAS), channel_mv=cmv,

@@ -57,6 +57,10 @@ def main():
     logger = setup_logger("CORE", rank, cfg.OUTPUT_DIR if rank == 0 else "")
     logger.info("world_size=%d rank=%d devices=%d",
                 world_size, rank, jax.device_count())
+    if cfg.SOLVER.DEBUG_NANS:
+        from vcm_ts_tpu.utils.common import enable_debug_nans
+        enable_debug_nans()
+        logger.info("debug_nans sanitizer ON (steps serialize; debug only)")
 
     cmv, cn, cm = cfg.MODEL.CHANNELS
     model = DMC(anchor_num=len(cfg.SOLVER.LAMBDAS), channel_mv=cmv,

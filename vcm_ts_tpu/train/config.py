@@ -55,6 +55,12 @@ def default_training_cfg() -> CfgNode:
     # which always fine-tunes from pretrained DCVC weights). From-scratch
     # training needs ~1.0: random-init rate estimates explode.
     cfg.SOLVER.GRAD_CLIP_NORM = 0.0
+    # NaN sanitizer (beyond reference parity, SURVEY 5.2): when true the
+    # trainers enable jax debug_nans — every jitted step re-runs op-by-op
+    # on a NaN and raises FloatingPointError at the producing op instead
+    # of training onward on poisoned values. Debug only: it disables
+    # async dispatch, so steps serialize (~2-3x slower).
+    cfg.SOLVER.DEBUG_NANS = False
     # 8-field stage tuples:
     # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
     #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]

@@ -116,6 +116,19 @@ def generate_log_json(frame_num, frame_types, bits, psnrs, ssims,
     return log
 
 
+def enable_debug_nans(enable: bool = True) -> None:
+    """NaN sanitizer for training runs (cfg.SOLVER.DEBUG_NANS).
+
+    Flips jax's debug_nans mode: any NaN produced inside a jitted step
+    re-runs the program op-by-op and raises FloatingPointError at the
+    producing op. The reference has no sanitizer posture (SURVEY 5.2);
+    this is the XLA-native equivalent of running under a numerics
+    checker. Debug only — it serializes dispatch."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enable))
+
+
 def enable_compilation_cache(cache_dir: str | None = None,
                              min_compile_secs: float = 2.0) -> str:
     """Point JAX's persistent compilation cache at a repo-local directory.
