@@ -209,3 +209,37 @@ def test_cascade_scan_matches_unrolled():
     k_ref = np.asarray(
         p_ref["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
     np.testing.assert_allclose(k_scan, k_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_cascade_remat_matches_no_remat():
+    """CASCADE_REMAT replays the same ops in the backward pass — the
+    parameter update must match the keep-everything variant to f32
+    noise (the knob trades memory for FLOPs, never numerics)."""
+    model, params = tiny_model_and_params()
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 0.5 if path[-1].key == "kernel" else x, params)
+    stage = _stage(forward_method="cascade", p_frames=2,
+                   trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    seqs = _sequences(t=3, seed=5)
+    xs = jnp.stack([jnp.asarray(seqs[:, 1 + k]) for k in range(2)])
+    rng = jax.random.PRNGKey(4)
+
+    outs = {}
+    for remat in (False, True):
+        # step donates its dpb argument: build a fresh one per variant
+        dpb0 = make_dpb(jnp.asarray(seqs[:, 0]), 16, 24)
+        tx, opt_state = make_stage_optimizer(params, stage.trainable_mode,
+                                             1e-4)
+        step = ts.make_cascade_step(model, tx, stage, lambdas=[85., 170.],
+                                    dist_lambda=1.0, pl_lambda=0.0,
+                                    remat=remat)
+        p, _, aux, _ = step(params, opt_state, xs, xs, dpb0, rng)
+        outs[remat] = (p, np.asarray(aux.loss))
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-6, atol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        outs[True][0], outs[False][0])

@@ -61,6 +61,10 @@ def default_training_cfg() -> CfgNode:
     # of training onward on poisoned values. Debug only: it disables
     # async dispatch, so steps serialize (~2-3x slower).
     cfg.SOLVER.DEBUG_NANS = False
+    # rematerialize each frame of cascade-BPTT chains (memory flat in
+    # p_frames; ~1/3 extra backward FLOPs). Off reproduces the reference's
+    # keep-everything autograd behavior.
+    cfg.SOLVER.CASCADE_REMAT = True
     # 8-field stage tuples:
     # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
     #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]

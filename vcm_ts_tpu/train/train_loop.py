@@ -109,7 +109,8 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                 step_fn = make_cascade_step(
                     model, tx, stage, lambdas=lambdas,
                     dist_lambda=cfg.SOLVER.DIST_LAMBDA,
-                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl)
+                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
+                    remat=getattr(cfg.SOLVER, "CASCADE_REMAT", True))
 
         data_loader.set_epoch(epoch)
         for it, (inputs, targets) in enumerate(data_loader):

@@ -130,9 +130,17 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
 
 
 def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
-                      pl_fn=None):
+                      pl_fn=None, remat=True):
     """Jitted whole-chain gradient step for the 'cascade' strategy:
-    xs/targets are (p_frames, N, H, W, C); BPTT through the DPB."""
+    xs/targets are (p_frames, N, H, W, C); BPTT through the DPB.
+
+    remat (cfg.SOLVER.CASCADE_REMAT): checkpoint each frame of the chain —
+    the backward pass recomputes a frame's activations from its DPB carry
+    instead of keeping every frame's intermediates live, so BPTT memory
+    stays flat in p_frames (the standard XLA remat trade: ~1/3 more
+    backward FLOPs for O(chain) -> O(1) activation memory). Measured
+    necessary: the 4-anchor 256x256 cascade stage OOMs one v5e chip's HBM
+    without it. Gradients are numerically identical (same ops, replayed)."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
     p_frames = stage.p_frames
@@ -144,6 +152,9 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
             loss_rate_keys=stage.loss_rate_keys,
             loss_dist_key=stage.loss_dist_key, pl_fn=pl_fn,
             noise_rng=sub, is_first_p=is_first_p)
+
+    if remat:
+        one_frame = jax.checkpoint(one_frame, static_argnums=(5,))
 
     def chain_loss(params, xs, targets, dpb, rng):
         # same key schedule as a sequential split-per-frame unroll
@@ -158,13 +169,15 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
         # p_frames, so compile time and program size stop scaling with the
         # GOP curriculum. BPTT through the carry is preserved (scan
         # differentiates through the carry chain).
+        # is_first_p passed positionally: jax.checkpoint's static_argnums
+        # only covers positional arguments
         _, (aux0, dpb) = one_frame(params, xs[0], targets[0], dpb, subs[0],
-                                   is_first_p=True)
+                                   True)
         if p_frames > 1:
             def body(carry, inp):
                 x, target, sub = inp
                 _, (aux, new_carry) = one_frame(params, x, target, carry,
-                                                sub, is_first_p=False)
+                                                sub, False)
                 return new_carry, aux
             dpb, rest = jax.lax.scan(
                 body, dpb, (xs[1:], targets[1:], jnp.stack(subs[1:])))
