@@ -130,6 +130,11 @@ def main():
     ns = max(1, args.streams)
     frames = [jnp.asarray(rng.random((ns, h, w, 3)), dtype)
               for _ in range(4)]
+
+    def force(d):
+        # under the axon tunnel block_until_ready returns early; a host fetch
+        # of a scalar reduction is the only reliable completion barrier
+        return float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
     dpb = make_dpb(frames[0])
 
     if args.pipelined_decode or args.pipelined_encode:
@@ -143,10 +148,10 @@ def main():
         streams, _ = codec.encode_gop(seq[:2], dpb, 0.7, 0.7)  # warm
         streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
         outs, d = codec.decode_gop(dpb, streams[:2], h, w, 0.7, 0.7)  # warm
-        _ = float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
+        force(d)
         t0 = time.perf_counter()
         outs, d = codec.decode_gop(dpb, streams, h, w, 0.7, 0.7)
-        _ = float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
+        force(d)
         t1 = time.perf_counter()
         fps = args.frames / (t1 - t0)
         print(json.dumps({
@@ -174,13 +179,12 @@ def main():
             return dec["dpb"]
 
         for i in range(max(2, args.warmup)):
-            d = run_frame_batched(i, dpb, i == 0)
-            _ = float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
+            force(run_frame_batched(i, dpb, i == 0))
         t0 = time.perf_counter()
         cur = dpb
         for i in range(args.frames):
             cur = run_frame_batched(i, cur, i == 0)
-        _ = float(jnp.sum(cur["ref_frame"][0, 0, :2, 0]))
+        force(cur)
         t1 = time.perf_counter()
         fps = ns * args.frames / (t1 - t0)
         print(json.dumps({
@@ -231,11 +235,6 @@ def main():
         def run_frame(i, dpb, first):
             out = fwd(params, frames[i % 4], dpb, first)
             return out["dpb"]
-
-    def force(d):
-        # under the axon tunnel block_until_ready returns early; a host fetch
-        # of a scalar reduction is the only reliable completion barrier
-        return float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
 
     # warmup / compile both is_first_p variants
     for i in range(max(2, args.warmup)):

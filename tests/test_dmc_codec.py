@@ -305,9 +305,9 @@ def test_decode_gop_pipelined_matches_sequential(dmc):
 
     outs, final_dpb = codec.decode_gop(dpb0, streams, 64, 64, 1.0, 1.0)
     assert len(outs) == 3
-    for i, out in enumerate(outs):
+    for i, recon in enumerate(outs):
         np.testing.assert_array_equal(
-            np.asarray(out["dpb"]["ref_frame"]), seq_recons[i],
+            np.asarray(recon), seq_recons[i],
             err_msg=f"pipelined decode diverged at chained frame {i}")
     np.testing.assert_array_equal(np.asarray(final_dpb["ref_frame"]),
                                   seq_recons[-1])

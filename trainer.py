@@ -88,7 +88,11 @@ def train_model(cfg, args):
     # validation.py:132-199): built when TEST_OD_ROOT_DIRS is configured;
     # the detector adapter is pluggable and gates on its model zoo.
     od_loader = detector_fn = None
-    if cfg.DATASET.TEST_OD_ROOT_DIRS:
+    if (cfg.DATASET.TEST_OD_ROOT_DIRS
+            and len(cfg.SOLVER.STAGES) + 1 > cfg.DATASET.OD_STAGE):
+        # only build (and hold ~180 MB of detector weights for the whole
+        # run) when the configured curriculum actually reaches OD_STAGE;
+        # eval_dataset gates per-stage (stage+1 >= OD_STAGE)
         from vcm_ts_tpu.data import make_object_detection_data_loader
         from vcm_ts_tpu.eval.detector import build_eval_detector
         od_loader = make_object_detection_data_loader(cfg)

@@ -95,7 +95,9 @@ def main():
 
     # OD-mAP eval is rank-0-only host work, same gating as trainer.py
     od_loader = detector_fn = None
-    if rank == 0 and cfg.DATASET.TEST_OD_ROOT_DIRS:
+    if (rank == 0 and cfg.DATASET.TEST_OD_ROOT_DIRS
+            and len(cfg.SOLVER.STAGES) + 1 > cfg.DATASET.OD_STAGE):
+        # built only when the curriculum reaches OD_STAGE (see trainer.py)
         from vcm_ts_tpu.data import make_object_detection_data_loader
         from vcm_ts_tpu.eval.detector import build_eval_detector
         od_loader = make_object_detection_data_loader(cfg)

@@ -26,10 +26,14 @@ from . import bitstream as bs
 def _i16(x):
     """Symbol planes cross the host boundary as int16: covers the coder's
     in-window symbols and any realistic bypass magnitudes, at 1/4 the f32
-    tunnel traffic. Clip in int32: in bf16 mode 32767 is not representable
-    (nearest is 32768, out of int16 range), so clipping in the input dtype
-    would leave the saturated case implementation-defined."""
-    return jnp.clip(x.astype(jnp.int32), -32768, 32767).astype(jnp.int16)
+    tunnel traffic. Saturate in f32 BEFORE any int cast: float->int
+    conversion is implementation-defined in XLA for NaN or out-of-range
+    values (backends differ), so a diverged-weights plane clipped after
+    the cast could disagree between a TPU encoder and a CPU decoder.
+    +/-32767 is exactly representable in f32; NaN maps to 0."""
+    xf = jnp.nan_to_num(x.astype(jnp.float32), nan=0.0,
+                        posinf=32767.0, neginf=-32768.0)
+    return jnp.clip(xf, -32768.0, 32767.0).astype(jnp.int16)
 
 
 class VideoCodec:
@@ -278,8 +282,12 @@ class VideoCodec:
         is what this pipelining hides.
 
         Bit-identical to sequential decompress() calls (each frame uses
-        its own EntropyCoder on its own stream). Returns (list of per-frame
-        output dicts without host syncs, final dpb).
+        its own EntropyCoder on its own stream). Returns (list of decoded
+        frames — device-side (N, H, W, 3) arrays, no host syncs — and the
+        final dpb). Only the recon plane is retained per frame: keeping
+        each frame's full DPB would pin O(GOP) x ~270 MB of HBM
+        (ref_feature alone is (1,1088,1920,64)) and overflow the chip on
+        a 64-frame burst; the recon is ~12.5 MB/frame.
         """
         assert self.z_table is not None, "call update() first"
         zh, zw = bs.get_downsampled_shape(height, width, 64)
@@ -324,7 +332,7 @@ class VideoCodec:
             out = self._stage6(self.params, up(y_q_r_1), carry, contexts,
                                y_q_scale)
             dpb = out["dpb"]  # device-side; no host sync between frames
-            outs.append(out)
+            outs.append(dpb["ref_frame"])
         return outs, dpb
 
     # ------------------------------------------------------------- decompress

@@ -4,10 +4,11 @@ The reference builds its eval detector inside `do_eval` keyed on the active
 perceptual-loss family (core/engine/validation.py:132-141): Faster-RCNN
 losses -> torchvision fasterrcnn_resnet50_fpn_v2 (min 1088 / max 1920),
 anything else -> ultralytics YOLOv8m. Those zoos are host-side and optional
-in this image, so the adapter is built lazily and returns None with an
-actionable log line when the dependency is missing — the trainer then runs
-RD eval without the mAP column instead of crashing (same pluggable-adapter
-posture as codec/vcm_pipeline.build_detector).
+in this image, so the adapter is built once at trainer startup — and only
+when the configured curriculum actually reaches OD_STAGE — and returns
+None with an actionable log line when the dependency is missing; the
+trainer then runs RD eval without the mAP column instead of crashing
+(same pluggable-adapter posture as codec/vcm_pipeline.build_detector).
 
 A detector adapter is `fn(decoded: np.ndarray (1,H,W,C) in [0,1]) ->
 {"boxes": (K,4) xyxy, "labels": (K,), "scores": (K,)}` — the contract

@@ -94,9 +94,11 @@ def eval_dataset(model, params, stage, data_loader, cfg, lambdas,
                        jnp.tile(jnp.asarray(x), (n, 1, 1, 1))))
         result["mean_ap"] = eval_object_detection(
             model, params, cfg, lambdas, od_loader, detector_fn, od_i_fn)
-    elif od_loader is not None:
+    elif od_loader is not None and detector_fn is None:
         logger.warning("OD loader given but no detector adapter available; "
                        "skipping mAP eval")
+    # (od_loader set, detector present, stage below OD_STAGE: silent —
+    # the mAP branch simply hasn't activated yet, nothing is wrong)
     return result
 
 
