@@ -311,3 +311,22 @@ def test_decode_gop_pipelined_matches_sequential(dmc):
             err_msg=f"pipelined decode diverged at chained frame {i}")
     np.testing.assert_array_equal(np.asarray(final_dpb["ref_frame"]),
                                   seq_recons[-1])
+
+
+def test_i16_saturation_well_defined():
+    """_i16 must map NaN/inf/out-of-range values deterministically (f32
+    saturation BEFORE the int cast): float->int conversion of such values
+    is implementation-defined in XLA, and the symbol planes cross the
+    encoder/decoder boundary — both sides must agree even on diverged
+    weights."""
+    from vcm_ts_tpu.codec.engine import _i16
+
+    x = jnp.asarray([0.0, 1.9, -1.9, 40000.0, -40000.0,
+                     np.inf, -np.inf, np.nan], jnp.float32)
+    out = np.asarray(_i16(x))
+    np.testing.assert_array_equal(
+        out, np.asarray([0, 1, -1, 32767, -32768, 32767, -32768, 0],
+                        np.int16))
+    # bf16 inputs (the bf16-mode codec path) saturate identically
+    out_b = np.asarray(_i16(x.astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(out_b[3:], out[3:])
