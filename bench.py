@@ -1,7 +1,7 @@
 """Benchmark: 1080p P-frame encode+decode throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
 
 Protocol mirrors the reference's eval harness semantics
 (DCVC_HEM/test_video.py:80-182): per-frame DMC encode+decode compute with
@@ -10,17 +10,62 @@ with), 1080p frames padded to 1088x1920 (stream_helper.get_padding_size
 p=64), DPB threaded frame to frame. Baseline: the driver-set north star of
 60 fps/chip (BASELINE.md).
 
+Default (no mode flag) runs the SUITE: single-stream entropy-estimated fps
+(the headline) plus pipelined real-bitstream encode, pipelined decode, and
+the 2-stream batched write-stream aggregate — all in the one JSON line
+(VERDICT r3 item 2). Individual modes stay selectable by flag.
+
+Outage behavior: before compiling anything, a tiny-matmul probe runs in a
+subprocess under a timeout. If the TPU backend is unreachable (the axon
+tunnel outage that emptied BENCH_r03.json), this prints a structured
+{"error": "tpu-unavailable"} JSON line and exits 0 instead of hanging for
+~40 minutes in backend init.
+
 Flags: --frames N, --warmup N, --dtype f32|bf16, --write-stream (adds the
-host rANS path), --size HxW.
+host rANS path), --size HxW, --estimate-only, plus the mode flags below.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+NORTH_STAR_FPS = 60.0  # BASELINE.md
+
+
+def _probe_tpu(timeout_s: float) -> tuple[bool, str]:
+    """Tiny-matmul liveness probe in a subprocess under a hard timeout.
+
+    A subprocess is the only reliable watchdog: with the tunnel down, axon
+    backend init blocks inside PJRT for ~40 min and is not interruptible
+    from Python. The child inherits this process's env (so it probes the
+    same backend bench would use); `float(...)` forces a host fetch, the
+    only completion barrier the tunnel honors (PERF.md).
+    """
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); "
+            "print('PROBE_OK', float((x @ x).sum()), "
+            "jax.devices()[0].platform)")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s"
+    if proc.returncode != 0 or "PROBE_OK" not in proc.stdout:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        return False, f"probe rc={proc.returncode}: " + " | ".join(tail)
+    return True, proc.stdout.strip()
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj))
 
 
 def main():
@@ -32,6 +77,9 @@ def main():
     ap.add_argument("--size", default="1088x1920")
     ap.add_argument("--fast-warp", action="store_true",
                     help="two-pass Pallas warp kernel (see ops/warp_pallas)")
+    ap.add_argument("--estimate-only", action="store_true",
+                    help="single-stream entropy-estimated mode only "
+                         "(skip the suite's real-bitstream modes)")
     ap.add_argument("--pipelined-encode", action="store_true",
                     help="encode-only GOP throughput with host rANS "
                          "overlapped against device compute")
@@ -51,9 +99,29 @@ def main():
     ap.add_argument("--train-step", action="store_true",
                     help="training throughput: cascade RD step (f32, "
                          "256x256 crops, batch=4 rate anchors, BPTT over "
-                         "--p-frames)")
+                         "--p-frames, CASCADE_REMAT on)")
     ap.add_argument("--p-frames", type=int, default=2)
+    ap.add_argument("--probe-timeout", type=float,
+                    default=float(os.environ.get("BENCH_PROBE_TIMEOUT",
+                                                 "420")))
+    ap.add_argument("--no-probe", action="store_true")
     args = ap.parse_args()
+
+    # --- TPU liveness gate (VERDICT r3 weak #1): fail fast + legibly ---
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if not args.no_probe and "cpu" not in platforms.split(","):
+        ok, detail = _probe_tpu(args.probe_timeout)
+        if not ok:
+            _emit({
+                "metric": "1080p P-frame enc+dec fps/chip (bench aborted)",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": f"tpu-unavailable: {detail} — the axon tunnel is "
+                         f"down; re-run when a tiny matmul succeeds "
+                         f"(bench.py:_probe_tpu)",
+            })
+            return
 
     import jax
     import jax.numpy as jnp
@@ -66,51 +134,7 @@ def main():
     enable_compilation_cache()
 
     if args.train_step:
-        from vcm_ts_tpu.train.optimizer import make_stage_optimizer
-        from vcm_ts_tpu.train.stages import StageParams
-        from vcm_ts_tpu.train.train_step import make_cascade_step
-
-        model = DMC(anchor_num=4)
-        x0 = jnp.zeros((1, 64, 64, 3))
-        params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0,
-                            1.0, method="init_all")
-        stage = StageParams(stage=3, p_frames=args.p_frames,
-                            trainable_mode="all", forward_method="cascade",
-                            loss_dist_key="mse",
-                            loss_rate_keys=("bpp_y", "bpp_z", "bpp_mv_y",
-                                            "bpp_mv_z"),
-                            lr=1e-4, perceptual_loss=False)
-        tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
-        step = make_cascade_step(model, tx, stage,
-                                 lambdas=[85.0, 170.0, 380.0, 840.0],
-                                 dist_lambda=1.0, pl_lambda=0.0)
-        rng = np.random.default_rng(0)
-        xs = jnp.asarray(rng.random(
-            (args.p_frames, 4, 256, 256, 3)), jnp.float32)
-        key = jax.random.PRNGKey(0)
-        for _ in range(2):
-            key, sub = jax.random.split(key)
-            params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
-                                               make_dpb(xs[0]), sub)
-            _ = float(aux.loss[0])
-        t0 = time.perf_counter()
-        n_steps = max(args.frames // 4, 4)
-        for _ in range(n_steps):
-            # split per step so the benched step matches real training's
-            # input pattern (fresh quantization noise each iteration)
-            key, sub = jax.random.split(key)
-            params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
-                                               make_dpb(xs[0]), sub)
-        _ = float(aux.loss[0])
-        dt = (time.perf_counter() - t0) / n_steps
-        fps = 4 * args.p_frames / dt  # frames consumed per second
-        print(json.dumps({
-            "metric": f"cascade train step frames/s (f32, 256x256, "
-                      f"batch=4 anchors, p_frames={args.p_frames}, BPTT)",
-            "value": round(fps, 3),
-            "unit": "frames/s",
-            "vs_baseline": 0.0,
-        }))
+        _emit(bench_train_step(args))
         return
 
     h, w = (int(v) for v in args.size.split("x"))
@@ -130,135 +154,230 @@ def main():
     ns = max(1, args.streams)
     frames = [jnp.asarray(rng.random((ns, h, w, 3)), dtype)
               for _ in range(4)]
+    dpb = make_dpb(frames[0])
 
     def force(d):
         # under the axon tunnel block_until_ready returns early; a host fetch
         # of a scalar reduction is the only reliable completion barrier
         return float(jnp.sum(d["ref_frame"][0, 0, :2, 0]))
-    dpb = make_dpb(frames[0])
+
+    ctx = dict(model=model, params=params, frames=frames, dpb=dpb,
+               h=h, w=w, force=force, args=args)
 
     if args.pipelined_decode or args.pipelined_encode:
         assert ns == 1, "pipelined GOP modes are single-stream"
-
     if args.pipelined_decode:
-        from vcm_ts_tpu.codec.engine import VideoCodec
-        codec = VideoCodec(model, params)
-        codec.update()
-        seq = [frames[i % 4] for i in range(args.frames)]
-        streams, _ = codec.encode_gop(seq[:2], dpb, 0.7, 0.7)  # warm
-        streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
-        outs, d = codec.decode_gop(dpb, streams[:2], h, w, 0.7, 0.7)  # warm
-        force(d)
-        t0 = time.perf_counter()
-        outs, d = codec.decode_gop(dpb, streams, h, w, 0.7, 0.7)
-        force(d)
-        t1 = time.perf_counter()
-        fps = args.frames / (t1 - t0)
-        print(json.dumps({
-            "metric": f"1080p P-frame pipelined DECODE fps/chip "
-                      f"({args.dtype}, real bitstream)",
-            "value": round(fps, 3),
-            "unit": "fps",
-            "vs_baseline": round(fps / 60.0, 4),
-        }))
+        fps = bench_pipelined_decode(ctx)
+        _emit({"metric": f"1080p P-frame pipelined DECODE fps/chip "
+                         f"({args.dtype}, real bitstream)",
+               "value": round(fps, 3), "unit": "fps",
+               "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
         return
-
-    if args.write_stream and ns > 1:
-        # N independent streams in lockstep through the batched engines:
-        # every host<->device round trip (the real-bitstream cost floor)
-        # is amortized over N streams, byte-identical per stream to
-        # sequential compress()/decompress() (tests/test_dmc_codec.py).
-        from vcm_ts_tpu.codec.engine import VideoCodec
-        codec = VideoCodec(model, params)
-        codec.update()
-
-        def run_frame_batched(i, dpb, first):
-            out = codec.compress_batch(frames[i % 4], dpb, 0.7, 0.7, first)
-            dec = codec.decompress_batch(dpb, out["bit_streams"], h, w,
-                                         0.7, 0.7, first)
-            return dec["dpb"]
-
-        for i in range(max(2, args.warmup)):
-            force(run_frame_batched(i, dpb, i == 0))
-        t0 = time.perf_counter()
-        cur = dpb
-        for i in range(args.frames):
-            cur = run_frame_batched(i, cur, i == 0)
-        force(cur)
-        t1 = time.perf_counter()
-        fps = ns * args.frames / (t1 - t0)
-        print(json.dumps({
-            "metric": f"1080p P-frame enc+dec AGGREGATE fps/chip "
-                      f"({args.dtype}, real bitstream, {ns} streams "
-                      f"batched)",
-            "value": round(fps, 3),
-            "unit": "fps",
-            "vs_baseline": round(fps / 60.0, 4),
-        }))
-        return
-
     if args.pipelined_encode:
-        from vcm_ts_tpu.codec.engine import VideoCodec
-        codec = VideoCodec(model, params)
-        codec.update()
-        # warm both jit variants
-        st, _ = codec.encode_gop(frames[:2], dpb, 0.7, 0.7)
-        t0 = time.perf_counter()
-        seq = [frames[i % 4] for i in range(args.frames)]
-        streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
-        t1 = time.perf_counter()
-        fps = args.frames / (t1 - t0)
-        print(json.dumps({
-            "metric": f"1080p P-frame pipelined ENCODE fps/chip "
-                      f"({args.dtype}, real bitstream)",
-            "value": round(fps, 3),
-            "unit": "fps",
-            "vs_baseline": round(fps / 60.0, 4),
-        }))
+        fps = bench_pipelined_encode(ctx)
+        _emit({"metric": f"1080p P-frame pipelined ENCODE fps/chip "
+                         f"({args.dtype}, real bitstream)",
+               "value": round(fps, 3), "unit": "fps",
+               "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
+        return
+    if args.write_stream and ns > 1:
+        fps = bench_batched_write(ctx)
+        _emit({"metric": f"1080p P-frame enc+dec AGGREGATE fps/chip "
+                         f"({args.dtype}, real bitstream, {ns} streams "
+                         f"batched)",
+               "value": round(fps, 3), "unit": "fps",
+               "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
+        return
+    if args.write_stream:
+        fps = bench_seq_write(ctx)
+        _emit({"metric": f"1080p P-frame enc+dec fps/chip ({args.dtype}, "
+                         f"real bitstream)",
+               "value": round(fps, 3), "unit": "fps",
+               "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
         return
 
-    if args.write_stream:
-        from vcm_ts_tpu.codec.engine import VideoCodec
-        codec = VideoCodec(model, params)
-        codec.update()
-
-        def run_frame(i, dpb, first):
-            out = codec.compress(frames[i % 4], dpb, 0.7, 0.7, first)
-            stream = out["bit_stream"]
-            dec = codec.decompress(dpb, stream, h, w, 0.7, 0.7, first)
-            return dec["dpb"]
-    else:
-        fwd = jax.jit(
-            lambda p, x, dpb, first: model.apply(p, x, dpb, 0.7, 0.7, first),
-            static_argnums=(3,))
-
-        def run_frame(i, dpb, first):
-            out = fwd(params, frames[i % 4], dpb, first)
-            return out["dpb"]
-
-    # warmup / compile both is_first_p variants
-    for i in range(max(2, args.warmup)):
-        force(run_frame(i, dpb, i == 0))
-
-    t0 = time.perf_counter()
-    cur = dpb
-    for i in range(args.frames):
-        cur = run_frame(i, cur, i == 0)
-    force(cur)
-    t1 = time.perf_counter()
-
-    fps = ns * args.frames / (t1 - t0)
+    # --- estimation mode (headline) ---
+    est_fps = bench_estimation(ctx)
     result = {
         "metric": f"1080p P-frame enc+dec fps/chip "
                   f"({args.dtype}"
                   f"{', fast-warp' if args.fast_warp else ''}"
                   f"{f', {ns} streams batched' if ns > 1 else ''}"
-                  f"{', real bitstream' if args.write_stream else ', entropy-estimated'})",
-        "value": round(fps, 3),
+                  f", entropy-estimated)",
+        "value": round(est_fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 4),
+        "vs_baseline": round(est_fps / NORTH_STAR_FPS, 4),
     }
-    print(json.dumps(result))
+    if args.estimate_only or ns > 1 or args.fast_warp:
+        _emit(result)
+        return
+
+    # --- suite: add the real-bitstream modes as extra keys (one line) ---
+    try:
+        result["pipelined_encode_fps"] = round(bench_pipelined_encode(ctx), 3)
+        result["pipelined_decode_fps"] = round(bench_pipelined_decode(ctx), 3)
+        ctx2 = dict(ctx)
+        ctx2["frames"] = [jnp.concatenate([f, f], axis=0) for f in frames]
+        ctx2["dpb"] = make_dpb(ctx2["frames"][0])
+        fps2 = bench_batched_write(ctx2)
+        result["write_stream_2x_aggregate_fps"] = round(fps2, 3)
+    except Exception as e:  # suite extras must never kill the headline
+        result["suite_error"] = f"{type(e).__name__}: {e}"
+    _emit(result)
+
+
+def bench_estimation(ctx) -> float:
+    import jax
+
+    args, force = ctx["args"], ctx["force"]
+    model, params, frames = ctx["model"], ctx["params"], ctx["frames"]
+    fwd = jax.jit(
+        lambda p, x, dpb, first: model.apply(p, x, dpb, 0.7, 0.7, first),
+        static_argnums=(3,))
+
+    def run_frame(i, dpb, first):
+        return fwd(params, frames[i % 4], dpb, first)["dpb"]
+
+    dpb = ctx["dpb"]
+    for i in range(max(2, args.warmup)):
+        force(run_frame(i, dpb, i == 0))
+    t0 = time.perf_counter()
+    cur = dpb
+    for i in range(args.frames):
+        cur = run_frame(i, cur, i == 0)
+    force(cur)
+    return max(1, ctx["frames"][0].shape[0]) * args.frames / (
+        time.perf_counter() - t0)
+
+
+def _make_codec(ctx):
+    from vcm_ts_tpu.codec.engine import VideoCodec
+
+    codec = VideoCodec(ctx["model"], ctx["params"])
+    codec.update()
+    return codec
+
+
+def bench_pipelined_encode(ctx) -> float:
+    args, frames, dpb = ctx["args"], ctx["frames"], ctx["dpb"]
+    codec = _make_codec(ctx)
+    codec.encode_gop(frames[:2], dpb, 0.7, 0.7)  # warm both jit variants
+    seq = [frames[i % 4] for i in range(args.frames)]
+    t0 = time.perf_counter()
+    codec.encode_gop(seq, dpb, 0.7, 0.7)
+    return args.frames / (time.perf_counter() - t0)
+
+
+def bench_pipelined_decode(ctx) -> float:
+    args, frames, dpb = ctx["args"], ctx["frames"], ctx["dpb"]
+    h, w, force = ctx["h"], ctx["w"], ctx["force"]
+    codec = _make_codec(ctx)
+    seq = [frames[i % 4] for i in range(args.frames)]
+    codec.encode_gop(seq[:2], dpb, 0.7, 0.7)  # warm
+    streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
+    _, d = codec.decode_gop(dpb, streams[:2], h, w, 0.7, 0.7)  # warm
+    force(d)
+    t0 = time.perf_counter()
+    _, d = codec.decode_gop(dpb, streams, h, w, 0.7, 0.7)
+    force(d)
+    return args.frames / (time.perf_counter() - t0)
+
+
+def bench_batched_write(ctx) -> float:
+    args, frames, force = ctx["args"], ctx["frames"], ctx["force"]
+    h, w = ctx["h"], ctx["w"]
+    ns = frames[0].shape[0]
+    codec = _make_codec(ctx)
+
+    def run_frame_batched(i, dpb, first):
+        out = codec.compress_batch(frames[i % 4], dpb, 0.7, 0.7, first)
+        dec = codec.decompress_batch(dpb, out["bit_streams"], h, w,
+                                     0.7, 0.7, first)
+        return dec["dpb"]
+
+    dpb = ctx["dpb"]
+    for i in range(max(2, args.warmup)):
+        force(run_frame_batched(i, dpb, i == 0))
+    t0 = time.perf_counter()
+    cur = dpb
+    for i in range(args.frames):
+        cur = run_frame_batched(i, cur, i == 0)
+    force(cur)
+    return ns * args.frames / (time.perf_counter() - t0)
+
+
+def bench_seq_write(ctx) -> float:
+    args, frames, force = ctx["args"], ctx["frames"], ctx["force"]
+    h, w = ctx["h"], ctx["w"]
+    codec = _make_codec(ctx)
+
+    def run_frame(i, dpb, first):
+        out = codec.compress(frames[i % 4], dpb, 0.7, 0.7, first)
+        dec = codec.decompress(dpb, out["bit_stream"], h, w, 0.7, 0.7, first)
+        return dec["dpb"]
+
+    dpb = ctx["dpb"]
+    for i in range(max(2, args.warmup)):
+        force(run_frame(i, dpb, i == 0))
+    t0 = time.perf_counter()
+    cur = dpb
+    for i in range(args.frames):
+        cur = run_frame(i, cur, i == 0)
+    force(cur)
+    return args.frames / (time.perf_counter() - t0)
+
+
+def bench_train_step(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.train.optimizer import make_stage_optimizer
+    from vcm_ts_tpu.train.stages import StageParams
+    from vcm_ts_tpu.train.train_step import make_cascade_step
+
+    model = DMC(anchor_num=4)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0,
+                        1.0, method="init_all")
+    stage = StageParams(stage=3, p_frames=args.p_frames,
+                        trainable_mode="all", forward_method="cascade",
+                        loss_dist_key="mse",
+                        loss_rate_keys=("bpp_y", "bpp_z", "bpp_mv_y",
+                                        "bpp_mv_z"),
+                        lr=1e-4, perceptual_loss=False)
+    tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
+    step = make_cascade_step(model, tx, stage,
+                             lambdas=[85.0, 170.0, 380.0, 840.0],
+                             dist_lambda=1.0, pl_lambda=0.0)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random(
+        (args.p_frames, 4, 256, 256, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
+                                           make_dpb(xs[0]), sub)
+        _ = float(aux.loss[0])
+    t0 = time.perf_counter()
+    n_steps = max(args.frames // 4, 4)
+    for _ in range(n_steps):
+        # split per step so the benched step matches real training's
+        # input pattern (fresh quantization noise each iteration)
+        key, sub = jax.random.split(key)
+        params, opt_state, aux, dpb = step(params, opt_state, xs, xs,
+                                           make_dpb(xs[0]), sub)
+    _ = float(aux.loss[0])
+    dt = (time.perf_counter() - t0) / n_steps
+    fps = 4 * args.p_frames / dt  # frames consumed per second
+    return {
+        "metric": f"cascade train step frames/s (f32, 256x256, "
+                  f"batch=4 anchors, p_frames={args.p_frames}, BPTT, "
+                  f"remat)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }
 
 
 if __name__ == "__main__":
