@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--size", default="1088x1920")
     ap.add_argument("--fast-warp", action="store_true",
                     help="two-pass Pallas warp kernel (see ops/warp_pallas)")
+    ap.add_argument("--fast-shuffle", action="store_true",
+                    help="Pallas fused subpel-conv/pixel-shuffle kernels "
+                         "(ops/subpel_pallas; exact relayout, inference "
+                         "only)")
     ap.add_argument("--estimate-only", action="store_true",
                     help="single-stream entropy-estimated mode only "
                          "(skip the suite's real-bitstream modes)")
@@ -139,6 +143,9 @@ def main():
 
     h, w = (int(v) for v in args.size.split("x"))
 
+    if args.fast_shuffle:
+        from vcm_ts_tpu.ops import layers as _layers
+        _layers.set_fast_shuffle(True)
     model = DMC(anchor_num=4, fast_warp=args.fast_warp)
     x0 = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
@@ -202,13 +209,14 @@ def main():
         "metric": f"1080p P-frame enc+dec fps/chip "
                   f"({args.dtype}"
                   f"{', fast-warp' if args.fast_warp else ''}"
+                  f"{', fast-shuffle' if args.fast_shuffle else ''}"
                   f"{f', {ns} streams batched' if ns > 1 else ''}"
                   f", entropy-estimated)",
         "value": round(est_fps, 3),
         "unit": "fps",
         "vs_baseline": round(est_fps / NORTH_STAR_FPS, 4),
     }
-    if args.estimate_only or ns > 1 or args.fast_warp:
+    if args.estimate_only or ns > 1 or args.fast_warp or args.fast_shuffle:
         _emit(result)
         return
 

@@ -14,6 +14,21 @@ to agree exactly; torch-vs-XLA f32 differences at a quantization-bin
 boundary could flip one (probability ~1e-5/symbol). The test is
 deterministic on fixed seeds/binaries, and a desynced rANS read can spin,
 so the reference decode runs under a SIGALRM guard.
+
+Why the isolated-flip tolerance cannot be tightened to exact (measured,
+tools/scale_index_flip_study.py on the twins' weights):
+- the index DERIVATION is not the problem: jnp and torch produce 0
+  index flips on identical sigma planes (same formula, bit-agreeing
+  log/floor);
+- the sigmas themselves are: the reference's own sigma planes differ by
+  up to 6.2e-4 RELATIVE between torch intra-op thread counts (1 vs 4) —
+  reassociation through the deep conv stack — which moves the index float
+  by ~0.018 rows (log-step 0.0344), while ~1% of symbols sit within 0.011
+  rows of a boundary. The reference cannot reproduce its OWN indexes
+  across thread configurations; no derivation change on our side can make
+  two independent f32 pipelines agree exactly. Within one framework the
+  engines sidestep this by running the decoder's exact stage binaries in
+  the encoder (codec/engine.py), which torch's eager model cannot do.
 """
 
 from __future__ import annotations
@@ -348,7 +363,11 @@ def test_rd_curves_match_reference(twins):
                                err_msg="bpp diverged at an anchor")
     np.testing.assert_allclose(ours_pts[:, 1], ref_pts[:, 1], atol=0.1,
                                err_msg="PSNR diverged at an anchor")
-    # curve-level: BD-rate of ours vs reference ~ 0%
+    # curve-level: BD-rate of ours vs reference must sit inside the
+    # north-star bound (BASELINE.md: |BD-rate| < 0.1%). At this operating
+    # point the per-anchor streams come out byte-identical in length, so
+    # the curves coincide and BD == 0; tools/bd_rate_vs_reference.py runs
+    # the same protocol on trained checkpoints / longer GOPs.
     bd = bd_rate(ref_pts[:, 0], ref_pts[:, 1],
                  ours_pts[:, 0], ours_pts[:, 1])
-    assert abs(bd) < 1.0, f"BD-rate vs reference = {bd:.3f}%"
+    assert abs(bd) < 0.1, f"BD-rate vs reference = {bd:.3f}%"

@@ -19,6 +19,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Tuple
 
@@ -43,6 +44,21 @@ def conv(features: int, kernel: int = 3, stride: int = 1) -> partial:
         kernel_init=kernel_init,
         bias_init=bias_init,
     )
+
+
+_FAST_SHUFFLE = os.environ.get("VCM_FAST_SHUFFLE", "0") == "1"
+
+
+def set_fast_shuffle(on: bool) -> None:
+    """Route every SubpelConv through the Pallas subpel kernels
+    (ops/subpel_pallas.py): k-major weight permutation + one-pass DMA
+    relayout (kernel=3 sites) or the fully fused 1x1-conv+shuffle MXU
+    kernel. EXACT math (pure relayout / same f32-accumulated dot) — unlike
+    the quality-gated fast-warp. INFERENCE ONLY: the pallas calls define no
+    VJP, so leave this off for training. Takes effect at the next trace
+    (new jit or cache miss); also settable via env VCM_FAST_SHUFFLE=1."""
+    global _FAST_SHUFFLE
+    _FAST_SHUFFLE = bool(on)
 
 
 def pixel_shuffle(x, r: int):
@@ -81,9 +97,31 @@ class Seq(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Bare parameter holder with nn.Conv's names/shapes/inits, so the
+    fast-shuffle path can hand the weights to a Pallas kernel while staying
+    checkpoint-interchangeable with the plain nn.Conv child."""
+
+    cin: int
+    cout: int
+    k: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", kernel_init,
+                       (self.k, self.k, self.cin, self.cout))
+        b = self.param("bias", bias_init, (self.cout,))
+        return w, b
+
+
 class SubpelConv(nn.Module):
     """Conv + PixelShuffle upsampler (layers.py:23-34). Child conv named "0"
-    to line up with torch's nn.Sequential indexing."""
+    to line up with torch's nn.Sequential indexing.
+
+    With set_fast_shuffle(True), routes through ops/subpel_pallas: the conv
+    weights are permuted to k-major channel order (trace-time transpose) and
+    the depth-to-space becomes a one-pass DMA relayout; 1x1 convs fuse the
+    MXU dot into the same kernel so the pre-shuffle tensor never hits HBM."""
 
     features: int
     r: int = 1
@@ -91,8 +129,29 @@ class SubpelConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.features * self.r ** 2, self.kernel)(name="0")(x)
-        return pixel_shuffle(x, self.r)
+        if not _FAST_SHUFFLE or self.r == 1:
+            x = conv(self.features * self.r ** 2, self.kernel)(name="0")(x)
+            return pixel_shuffle(x, self.r)
+
+        from .subpel_pallas import (permute_out_channels,
+                                    pixel_shuffle_relayout, subpel_conv1x1)
+
+        cin = x.shape[-1]
+        cout = self.features * self.r ** 2
+        w, b = _ConvParams(cin, cout, self.kernel, name="0")()
+        wp = permute_out_channels(w.astype(x.dtype), self.r)
+        bp = permute_out_channels(b.astype(x.dtype), self.r)
+        interp = jax.default_backend() == "cpu"  # CPU tests: interpret mode
+        if self.kernel == 1:
+            wk = wp.reshape(cin, self.r ** 2, self.features)
+            wk = wk.transpose(1, 0, 2)  # (r*r, Cin, C)
+            bk = bp.reshape(self.r ** 2, self.features)
+            return subpel_conv1x1(x, wk, bk, self.r, interpret=interp)
+        pad = self.kernel // 2
+        y = jax.lax.conv_general_dilated(
+            x, wp, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bp
+        return pixel_shuffle_relayout(y, self.r, interpret=interp)
 
 
 class ResidualBlock(nn.Module):

@@ -1,0 +1,136 @@
+"""Pallas TPU kernels for the subpel-conv + pixel-shuffle block.
+
+Round-3 tracing showed ~170 ms/frame of XLA layout copies + pad/reshape
+plumbing at 1080p, a large slice of it around the subpel upsamplers
+(conv -> depth-to-space, reference layers.py:23-34): XLA lowers
+pixel_shuffle's reshape-transpose-reshape to multiple HBM relayout passes.
+
+Key idea: re-order the conv's OUTPUT channels from torch's c-major
+(o = c*r^2 + dy*r + dx) to k-major (o = (dy*r + dx)*C + c) by permuting the
+conv WEIGHTS (free: a trace-time transpose of a weight-sized tensor). In
+k-major order, depth-to-space becomes a pure *block copy*: output viewed as
+(N, H, r, W, r, C) takes plane k = dy*r+dx contiguously from input channels
+[k*C, (k+1)*C) — no in-register lane shuffles, no gathers, and the final
+(N,H,r,W,r,C) -> (N,Hr,Wr,C) reshape is a row-major dim merge (bitcast).
+
+Two kernels:
+- pixel_shuffle_relayout: one-pass HBM->HBM DMA relayout (any conv kernel
+  size; follows a regular XLA conv that was given k-major weights);
+- subpel_conv1x1: the fully fused 1x1-conv (MXU dot) + shuffle — the conv
+  output is never materialized in HBM at all (ResidualBlockUpsample and the
+  decoders' SubpelConv(kernel=1) sites).
+
+Both are EXACT relayouts/matmuls (no approximation; unlike the quality-gated
+fast-warp kernel). Inference-path only: pallas_call defines no VJP here, so
+the flag that routes SubpelConv through these (ops/layers.set_fast_shuffle)
+must stay off for training.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def permute_out_channels(w, r: int):
+    """HWIO conv weights, torch subpel channel order -> k-major order.
+
+    torch PixelShuffle reads o = c*r^2 + dy*r + dx (layers.py:23-34); the
+    kernels here want o' = (dy*r + dx)*C + c. A weight-tensor transpose at
+    trace time; XLA folds it into the conv's weight load."""
+    *lead, o = w.shape
+    c = o // (r * r)
+    w = w.reshape(*lead, c, r * r)
+    w = jnp.swapaxes(w, -1, -2)
+    return w.reshape(*lead, o)
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for b in range(min(cap, n), 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def _relayout_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...].reshape(o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "block_h", "interpret"))
+def pixel_shuffle_relayout(x, r: int = 2, block_h: int = 8,
+                           interpret: bool = False):
+    """Depth-to-space for K-MAJOR channel order in one DMA pass.
+
+    x: (N, H, W, r*r*C) with channels ordered (dy*r+dx) major (see
+    permute_out_channels). Returns (N, H*r, W*r, C) == ops.layers.
+    pixel_shuffle of the equivalent c-major tensor (exactness pinned by
+    tests/test_subpel_pallas.py)."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    bh = _largest_divisor(h, block_h)
+    grid = (n, h // bh, r, r)
+    out6 = pl.pallas_call(
+        _relayout_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(
+            (1, bh, w, c), lambda ni, i, dy, dx: (ni, i, 0, dy * r + dx))],
+        out_specs=pl.BlockSpec(
+            (1, bh, 1, w, 1, c),
+            lambda ni, i, dy, dx: (ni, i, dy, 0, dx, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, r, w, r, c), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out6.reshape(n, h * r, w * r, c)
+
+
+def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, r: int):
+    bh = x_ref.shape[1]
+    wdim = x_ref.shape[2]
+    c = w_ref.shape[-1]
+    xm = x_ref[0].reshape(bh * wdim, x_ref.shape[3])
+    planes = []
+    for k in range(r * r):
+        y = jnp.dot(xm, w_ref[k], preferred_element_type=jnp.float32)
+        y = y + b_ref[k].astype(jnp.float32)
+        planes.append(y.astype(o_ref.dtype).reshape(bh, wdim, c))
+    # (bh, W, C) planes -> (1, bh, r, W, r, C): dy rides axis 2, dx axis 4
+    rows = [jnp.stack(planes[dy * r:(dy + 1) * r], axis=2)  # (bh, W, r, C)
+            for dy in range(r)]
+    out = jnp.stack(rows, axis=1)  # (bh, r, W, r, C)
+    o_ref[...] = out[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "block_h", "interpret"))
+def subpel_conv1x1(x, w_kmajor, bias_kmajor, r: int = 2, block_h: int = 8,
+                   interpret: bool = False):
+    """Fused 1x1 conv + pixel shuffle: MXU dot per (dy,dx) plane, shuffled
+    write, conv output never hits HBM.
+
+    x: (N, H, W, Cin); w_kmajor: (r*r, Cin, C); bias_kmajor: (r*r, C).
+    Returns (N, H*r, W*r, C). Equivalent to
+    pixel_shuffle(conv1x1(x, w, b), r) with torch channel order when
+    w/b were permuted via reshape from permute_out_channels (exactness
+    pinned by tests/test_subpel_pallas.py)."""
+    n, h, wdim, cin = x.shape
+    rr, cin_w, c = w_kmajor.shape
+    assert rr == r * r and cin_w == cin
+    bh = _largest_divisor(h, block_h)
+    grid = (n, h // bh)
+    out6 = pl.pallas_call(
+        functools.partial(_conv1x1_kernel, r=r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, wdim, cin), lambda ni, i: (ni, i, 0, 0)),
+            pl.BlockSpec((rr, cin, c), lambda ni, i: (0, 0, 0)),
+            pl.BlockSpec((rr, c), lambda ni, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, r, wdim, r, c), lambda ni, i: (ni, i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, r, wdim, r, c), x.dtype),
+        interpret=interpret,
+    )(x, w_kmajor, bias_kmajor)
+    return out6.reshape(n, h * r, wdim * r, c)
