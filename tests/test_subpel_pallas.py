@@ -63,6 +63,36 @@ def test_fused_conv1x1_matches_conv_plus_shuffle():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
+def test_gradients_match_plain_path():
+    """jax.grad through the fast path == grad through conv+pixel_shuffle
+    (custom VJPs), for both the relayout and the fused 1x1 kernel."""
+    from vcm_ts_tpu.ops.layers import SubpelConv
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 6)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((1, 16, 24, 4)), jnp.float32)
+    for kernel in (1, 3):
+        mod = SubpelConv(4, 2, kernel=kernel)
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, xx):
+            return jnp.mean((mod.apply(p, xx) - tgt) ** 2)
+
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        layers.set_fast_shuffle(True)
+        try:
+            gp_f, gx_f = jax.grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            layers.set_fast_shuffle(False)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"dx kernel={kernel}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            gp_f, gp)
+
+
 def test_subpel_conv_module_fast_path():
     """SubpelConv with the flag on == plain path, for both kernel sizes,
     with the SAME param tree (checkpoint-interchangeable)."""

@@ -54,9 +54,10 @@ def set_fast_shuffle(on: bool) -> None:
     (ops/subpel_pallas.py): k-major weight permutation + one-pass DMA
     relayout (kernel=3 sites) or the fully fused 1x1-conv+shuffle MXU
     kernel. EXACT math (pure relayout / same f32-accumulated dot) — unlike
-    the quality-gated fast-warp. INFERENCE ONLY: the pallas calls define no
-    VJP, so leave this off for training. Takes effect at the next trace
-    (new jit or cache miss); also settable via env VCM_FAST_SHUFFLE=1."""
+    the quality-gated fast-warp — and differentiable (the kernels carry
+    custom VJPs), so it composes with training too. Takes effect at the
+    next trace (new jit or cache miss); also settable via env
+    VCM_FAST_SHUFFLE=1."""
     global _FAST_SHUFFLE
     _FAST_SHUFFLE = bool(on)
 

@@ -21,9 +21,10 @@ Two kernels:
   decoders' SubpelConv(kernel=1) sites).
 
 Both are EXACT relayouts/matmuls (no approximation; unlike the quality-gated
-fast-warp kernel). Inference-path only: pallas_call defines no VJP here, so
-the flag that routes SubpelConv through these (ops/layers.set_fast_shuffle)
-must stay off for training.
+fast-warp kernel). Both carry custom VJPs (the relayout's inverse
+permutation, the dot's standard matmul cotangents — expressed in plain XLA
+ops, since training throughput is conv-bound, not shuffle-bound), so
+ops/layers.set_fast_shuffle is safe under jax.grad as well as inference.
 """
 
 from __future__ import annotations
@@ -59,15 +60,7 @@ def _relayout_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].reshape(o_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "block_h", "interpret"))
-def pixel_shuffle_relayout(x, r: int = 2, block_h: int = 8,
-                           interpret: bool = False):
-    """Depth-to-space for K-MAJOR channel order in one DMA pass.
-
-    x: (N, H, W, r*r*C) with channels ordered (dy*r+dx) major (see
-    permute_out_channels). Returns (N, H*r, W*r, C) == ops.layers.
-    pixel_shuffle of the equivalent c-major tensor (exactness pinned by
-    tests/test_subpel_pallas.py)."""
+def _relayout_impl(x, r: int, block_h: int, interpret: bool):
     n, h, w, crr = x.shape
     c = crr // (r * r)
     bh = _largest_divisor(h, block_h)
@@ -84,6 +77,44 @@ def pixel_shuffle_relayout(x, r: int = 2, block_h: int = 8,
         interpret=interpret,
     )(x)
     return out6.reshape(n, h * r, w * r, c)
+
+
+def _kmajor_space_to_depth(g, r: int):
+    """Inverse of the k-major depth-to-space (plain XLA; used in VJPs —
+    training cost lives in the convs, not the shuffle)."""
+    n, hr, wr, c = g.shape
+    h, w = hr // r, wr // r
+    g6 = g.reshape(n, h, r, w, r, c)
+    return g6.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, r * r * c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _relayout_vjp(x, r, block_h, interpret):
+    return _relayout_impl(x, r, block_h, interpret)
+
+
+def _relayout_fwd(x, r, block_h, interpret):
+    return _relayout_impl(x, r, block_h, interpret), None
+
+
+def _relayout_bwd(r, block_h, interpret, _res, g):
+    return (_kmajor_space_to_depth(g, r),)
+
+
+_relayout_vjp.defvjp(_relayout_fwd, _relayout_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "block_h", "interpret"))
+def pixel_shuffle_relayout(x, r: int = 2, block_h: int = 8,
+                           interpret: bool = False):
+    """Depth-to-space for K-MAJOR channel order in one DMA pass.
+
+    x: (N, H, W, r*r*C) with channels ordered (dy*r+dx) major (see
+    permute_out_channels). Returns (N, H*r, W*r, C) == ops.layers.
+    pixel_shuffle of the equivalent c-major tensor (exactness pinned by
+    tests/test_subpel_pallas.py). Differentiable (custom VJP: the inverse
+    permutation)."""
+    return _relayout_vjp(x, r, block_h, interpret)
 
 
 def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, r: int):
@@ -103,18 +134,8 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, r: int):
     o_ref[...] = out[None]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("r", "block_h", "interpret"))
-def subpel_conv1x1(x, w_kmajor, bias_kmajor, r: int = 2, block_h: int = 8,
-                   interpret: bool = False):
-    """Fused 1x1 conv + pixel shuffle: MXU dot per (dy,dx) plane, shuffled
-    write, conv output never hits HBM.
-
-    x: (N, H, W, Cin); w_kmajor: (r*r, Cin, C); bias_kmajor: (r*r, C).
-    Returns (N, H*r, W*r, C). Equivalent to
-    pixel_shuffle(conv1x1(x, w, b), r) with torch channel order when
-    w/b were permuted via reshape from permute_out_channels (exactness
-    pinned by tests/test_subpel_pallas.py)."""
+def _conv1x1_impl(x, w_kmajor, bias_kmajor, r: int, block_h: int,
+                  interpret: bool):
     n, h, wdim, cin = x.shape
     rr, cin_w, c = w_kmajor.shape
     assert rr == r * r and cin_w == cin
@@ -134,3 +155,46 @@ def subpel_conv1x1(x, w_kmajor, bias_kmajor, r: int = 2, block_h: int = 8,
         interpret=interpret,
     )(x, w_kmajor, bias_kmajor)
     return out6.reshape(n, h * r, wdim * r, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _conv1x1_vjp(x, w_kmajor, bias_kmajor, r, block_h, interpret):
+    return _conv1x1_impl(x, w_kmajor, bias_kmajor, r, block_h, interpret)
+
+
+def _conv1x1_fwd(x, w_kmajor, bias_kmajor, r, block_h, interpret):
+    return (_conv1x1_impl(x, w_kmajor, bias_kmajor, r, block_h, interpret),
+            (x, w_kmajor))
+
+
+def _conv1x1_bwd(r, block_h, interpret, res, g):
+    x, w = res
+    rr = r * r
+    gk = _kmajor_space_to_depth(g, r)  # (n, h, w, rr*C)
+    n, h, wd, _ = gk.shape
+    gk5 = gk.reshape(n, h, wd, rr, w.shape[-1])
+    dx = jnp.einsum("nhwkc,kic->nhwi", gk5, w,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jnp.einsum("nhwi,nhwkc->kic", x, gk5,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    db = gk5.sum((0, 1, 2)).astype(w.dtype)
+    return dx, dw, db
+
+
+_conv1x1_vjp.defvjp(_conv1x1_fwd, _conv1x1_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "block_h", "interpret"))
+def subpel_conv1x1(x, w_kmajor, bias_kmajor, r: int = 2, block_h: int = 8,
+                   interpret: bool = False):
+    """Fused 1x1 conv + pixel shuffle: MXU dot per (dy,dx) plane, shuffled
+    write, conv output never hits HBM.
+
+    x: (N, H, W, Cin); w_kmajor: (r*r, Cin, C); bias_kmajor: (r*r, C).
+    Returns (N, H*r, W*r, C). Equivalent to
+    pixel_shuffle(conv1x1(x, w, b), r) with torch channel order when
+    w/b were permuted via reshape from permute_out_channels (exactness
+    pinned by tests/test_subpel_pallas.py). Differentiable (custom VJP:
+    matmul cotangents over the inverse permutation)."""
+    return _conv1x1_vjp(x, w_kmajor, bias_kmajor, r, block_h, interpret)
