@@ -153,6 +153,12 @@ def main():
     ref_pts = np.asarray(ref_pts)
     bd = bd_rate(ref_pts[:, 0], ref_pts[:, 1], ours_pts[:, 0],
                  ours_pts[:, 1])
+    # BD integrates log-rate over the overlapping QUALITY interval; on a
+    # near-flat-PSNR curve (untrained weights) that interval is ~0 and the
+    # integral is noise — require a real quality span for a valid number
+    span = min(ours_pts[:, 1].max() - ours_pts[:, 1].min(),
+               ref_pts[:, 1].max() - ref_pts[:, 1].min())
+    valid = bool(span >= 0.5)
     print(json.dumps({
         "metric": "BD-rate ours-vs-reference, shared weights "
                   f"({weights}, {args.frames} P-frame(s), {s}x{s})",
@@ -163,7 +169,9 @@ def main():
         "ref_bpp": [round(float(v), 6) for v in ref_pts[:, 0]],
         "ref_psnr": [round(float(v), 4) for v in ref_pts[:, 1]],
         "north_star": "|BD-rate| < 0.1%",
-        "pass": bool(abs(bd) < 0.1),
+        "psnr_span_db": round(float(span), 4),
+        "bd_valid": valid,
+        "pass": bool(valid and abs(bd) < 0.1),
     }))
 
 
