@@ -45,6 +45,13 @@ def parse_args():
     parser.add_argument("--test_config", type=str, required=True)
     parser.add_argument("--force_root_path", type=str, default=None)
     parser.add_argument("--worker", "-w", type=int, default=1)
+    parser.add_argument("--fleet", type=str2bool, nargs="?",
+                        const=True, default=False,
+                        help="with --batch_rates: shard the batched rate "
+                             "points across the local device mesh (one "
+                             "row group per chip; engine.set_fleet_"
+                             "sharding) — the TPU-native form of the "
+                             "reference's --worker GPU process fan-out")
     parser.add_argument("--batch_rates", type=str2bool, nargs="?",
                         const=True, default=False,
                         help="run all rate points of a sequence through one "
@@ -180,6 +187,10 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
 
     n = len(tasks)
     t0 = tasks[0]
+    # fleet serving: when a fleet mesh is set on the codecs (main --fleet),
+    # shard_batch device_puts every batched upload with one rate-point row
+    # group per device; it is a no-op otherwise
+    shard = (video_codec or i_codec).shard_batch
     frame_num, gop_size = t0["frame_num"], t0["gop_size"]
     write_stream = t0.get("write_stream", False)
     save_decoded = t0.get("save_decoded_frame", False)
@@ -188,7 +199,7 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
     if write_stream:
         i_q, i_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in i_q])
         i_q = np.asarray(i_q, np.float32)
-    i_qs = jnp.asarray(i_q.reshape(n, 1, 1, 1))
+    i_qs = shard(jnp.asarray(i_q.reshape(n, 1, 1, 1)))
     has_p = video_codec is not None
     if has_p:
         y_q = np.asarray([t["p_frame_y_q_scale"] for t in tasks], np.float32)
@@ -198,8 +209,8 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
             y_q, y_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in y_q])
             mv_q, mv_q_idx = zip(*[bs.get_rounded_q(float(q)) for q in mv_q])
             y_q, mv_q = np.asarray(y_q, np.float32), np.asarray(mv_q, np.float32)
-        y_qs = jnp.asarray(y_q.reshape(n, 1, 1, 1))
-        mv_qs = jnp.asarray(mv_q.reshape(n, 1, 1, 1))
+        y_qs = shard(jnp.asarray(y_q.reshape(n, 1, 1, 1)))
+        mv_qs = shard(jnp.asarray(mv_q.reshape(n, 1, 1, 1)))
 
     src_reader = PNGReader(t0["img_path"])
     metric_fn = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
@@ -219,8 +230,8 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
         frame_pixel_num = frame_pixel_num or pic_height * pic_width
         x_padded = bs.pad_image(x)
         padded_pixels = x_padded.shape[1] * x_padded.shape[2]
-        x_tiled = jnp.asarray(np.broadcast_to(
-            x_padded, (n,) + x_padded.shape[1:]))
+        x_tiled = shard(jnp.asarray(np.broadcast_to(
+            x_padded, (n,) + x_padded.shape[1:])))
 
         if frame_idx % gop_size == 0:
             frame_types.append(0)
@@ -241,8 +252,9 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
                 for r in range(n):
                     bits[r].append(float(out["bpp"][r]) * padded_pixels)
             recon = jnp.clip(x_hat, 0, 1)
-            dpb = (make_dpb(recon, video_codec.model.channel_N,
-                            video_codec.model.channel_M) if has_p else None)
+            dpb = (shard(make_dpb(recon, video_codec.model.channel_N,
+                                  video_codec.model.channel_M))
+                   if has_p else None)
             is_first_p = True
         else:
             frame_types.append(1)
@@ -361,6 +373,24 @@ def main():
             mv_q, args.p_frame_mv_y_q_scales, rate_num, "mv_y_q_scales")
 
     i_codec, video_codec = build_codecs(args)
+
+    if args.fleet:
+        import math
+
+        import jax
+        if not args.batch_rates:
+            raise SystemExit("--fleet requires --batch_rates")
+        from jax.sharding import Mesh
+        # each batched group holds rate_num stream rows; the mesh must tile
+        # that batch axis, so use the largest device count that divides it
+        n_dev = math.gcd(args.rate_num, len(jax.local_devices()))
+        mesh = Mesh(np.array(jax.local_devices()[:n_dev]), ("data",))
+        for codec in (i_codec, video_codec):
+            if codec is not None:
+                codec.set_fleet_sharding(mesh)
+        print(f"fleet serving over {mesh.size} local devices"
+              + ("" if n_dev > 1 else
+                 " (rate_num shares no factor with the device count)"))
 
     root_path = args.force_root_path or config["root_path"]
     config = config["test_classes"]

@@ -168,3 +168,57 @@ def test_batched_rates_entropy_estimated(tiny_codecs, png_sequence):
                                    single[r]["frame_bpp"], rtol=2e-3)
         np.testing.assert_allclose(batched[r]["frame_psnr"],
                                    single[r]["frame_psnr"], atol=0.1)
+
+
+def test_batched_rates_fleet_sharded(tmp_path, tiny_codecs, png_sequence):
+    """--fleet mode: run_test_batched with the codecs' batch axis sharded
+    over a 2-device mesh produces per-rate logs equivalent to the
+    sequential runs (the fleet's per-device batch-1 programs reproduce
+    single-stream compute; see tests/test_fleet_serving.py for the
+    engine-level byte-identity contract)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    tv = _load_cli("test_video")
+    i_codec, video_codec = tiny_codecs
+
+    def mk_task(rate_idx, q, sub):
+        d = str(tmp_path / f"{sub}_{rate_idx}")
+        os.makedirs(d, exist_ok=True)
+        return {
+            "rate_idx": rate_idx,
+            "frame_num": 4,
+            "gop_size": 2,
+            "img_path": png_sequence,
+            "i_frame_q_scale": q,
+            "p_frame_y_q_scale": q,
+            "p_frame_mv_y_q_scale": q,
+            "write_stream": True,
+            "bin_folder": d,
+            "save_decoded_frame": False,
+        }
+
+    seq_tasks = [mk_task(r, q, "fseq") for r, q in enumerate((0.7, 1.3))]
+    seq_logs = [tv.run_test(video_codec, i_codec, t) for t in seq_tasks]
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    for c in (i_codec, video_codec):
+        c.set_fleet_sharding(mesh)
+    try:
+        fleet_tasks = [mk_task(r, q, "fleet")
+                       for r, q in enumerate((0.7, 1.3))]
+        fleet_logs = tv.run_test_batched(video_codec, i_codec, fleet_tasks)
+    finally:
+        for c in (i_codec, video_codec):
+            c._batch_sharding = None
+
+    for r in range(2):
+        assert fleet_logs[r]["frame_type"] == seq_logs[r]["frame_type"]
+        assert sorted(os.listdir(fleet_tasks[r]["bin_folder"])) == \
+            [f"{f}.bin" for f in range(4)]
+        np.testing.assert_allclose(fleet_logs[r]["frame_bpp"],
+                                   seq_logs[r]["frame_bpp"], rtol=2e-2)
+        np.testing.assert_allclose(fleet_logs[r]["frame_psnr"],
+                                   seq_logs[r]["frame_psnr"], atol=0.1)

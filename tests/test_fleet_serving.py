@@ -143,6 +143,21 @@ def test_fleet_decode_identical(fleet):
             err_msg=f"stream {i} recon")
 
 
+def test_shard_batch_non_divisible_batch_is_unsharded(fleet):
+    """A batch whose leading dim doesn't tile the mesh (e.g. a 2-rate
+    sweep on an 8-device fleet) must upload unsharded instead of raising —
+    the guard test_video.py --fleet relies on for odd rate_num."""
+    model, params, codec, mesh = fleet
+    codec.set_fleet_sharding(mesh)
+    try:
+        t = codec.shard_batch({"q": jnp.ones((2, 1, 1, 1)),
+                               "x": jnp.ones((N, 4, 4, 3))})
+        assert t["q"].sharding.is_fully_replicated  # fell back
+        assert not t["x"].sharding.is_fully_replicated  # still sharded
+    finally:
+        codec._batch_sharding = None
+
+
 def test_fleet_intra_codec(fleet):
     """IntraCodec's batched engines ride the same fleet sharding."""
     from vcm_ts_tpu.models.intra import IntraNoAR

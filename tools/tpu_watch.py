@@ -1,0 +1,128 @@
+"""Tunnel watcher: poll the axon TPU and run the queued on-chip jobs.
+
+The axon tunnel dies for hours at a time (it cost round 3 both driver
+artifacts). This watcher loops a cheap subprocess probe (tiny matmul
+under a timeout — the documented way to test chip state; see
+.claude/skills/verify/SKILL.md) and, the moment the chip answers, runs
+the round's queued on-chip jobs in priority order, logging each to
+artifacts/tpu_watch/<job>.log and a status line to status.jsonl.
+
+Jobs (round 4, VERDICT r3 items 2/3/4/7):
+  1. bench suite            -> bench_suite.json       (item 2)
+  2. fast-shuffle estimate  -> fast_shuffle.json      (item 7 measurement)
+  3. train-step p1 + p2     -> train_step_p{1,2}.json (item 2, remat)
+  4. overfit 256 curriculum -> overfit_r4/            (item 3; hours)
+  5. bf16 BD gate on 4's ckpt -> bf16_gate.json       (item 4)
+
+Run detached:  python tools/tpu_watch.py >> artifacts/tpu_watch/watch.log 2>&1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "artifacts", "tpu_watch")
+PROBE = ("import jax, jax.numpy as jnp; x = jnp.ones((256,256), jnp.bfloat16); "
+         "print('OK', float((x@x).sum()))")
+
+
+def log(msg):
+    line = {"ts": time.time(), "msg": msg}
+    print(time.strftime("%H:%M:%S"), msg, flush=True)
+    with open(os.path.join(OUT, "status.jsonl"), "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
+def probe(timeout=120):
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE], cwd=REPO,
+                           timeout=timeout, capture_output=True, text=True)
+        return r.returncode == 0 and "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_job(name, cmd, timeout):
+    """Run one job; return True on rc=0. Logs to <name>.log."""
+    path = os.path.join(OUT, name + ".log")
+    log(f"start {name}: {' '.join(cmd)}")
+    with open(path, "a") as f:
+        f.write(f"\n=== {time.strftime('%F %T')} {' '.join(cmd)}\n")
+        f.flush()
+        try:
+            r = subprocess.run(cmd, cwd=REPO, stdout=f, stderr=f,
+                               timeout=timeout)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+    log(f"done {name}: rc={rc}")
+    return rc == 0
+
+
+JOBS = [
+    # (name, cmd, timeout_s, done_marker_file)
+    ("bench_suite",
+     [sys.executable, "bench.py"], 3600, "bench_suite.done"),
+    ("fast_shuffle",
+     [sys.executable, "bench.py", "--fast-shuffle", "--estimate-only"],
+     2400, "fast_shuffle.done"),
+    ("train_step_p1",
+     [sys.executable, "bench.py", "--train-step", "--p-frames", "1"],
+     2400, "train_step_p1.done"),
+    ("train_step_p2",
+     [sys.executable, "bench.py", "--train-step", "--p-frames", "2"],
+     3600, "train_step_p2.done"),
+    ("overfit256",
+     [sys.executable, "tools/overfit_run.py", "--iters", "150", "--size",
+      "256", "--bf16-check", "--out", "artifacts/overfit_r4"],
+     6 * 3600, "overfit256.done"),
+    ("bf16_gate",
+     [sys.executable, "tools/bf16_bd_gate.py", "--ckpt",
+      "artifacts/overfit_r4/overfit_final.ckpt"],
+     3600, "bf16_gate.done"),
+]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    log("watcher up")
+    while True:
+        pending = [j for j in JOBS
+                   if not os.path.exists(os.path.join(OUT, j[3]))]
+        if not pending:
+            log("all jobs done; exiting")
+            return
+        if not probe():
+            log(f"tunnel DOWN ({len(pending)} jobs pending)")
+            time.sleep(180)
+            continue
+        log("tunnel UP")
+        name, cmd, timeout, marker = pending[0]
+        if name == "bf16_gate" and not os.path.exists(
+                os.path.join(REPO, "artifacts/overfit_r4",
+                             "overfit_final.ckpt")):
+            log("bf16_gate: checkpoint missing (overfit failed?); skipping")
+            open(os.path.join(OUT, marker), "w").write("skipped\n")
+            continue
+        ok = run_job(name, cmd, timeout)
+        if ok:
+            open(os.path.join(OUT, marker), "w").write("ok\n")
+        else:
+            # re-probe: if the tunnel died mid-job, retry later; if the
+            # chip is fine the job itself is broken — mark failed so the
+            # queue advances instead of looping forever.
+            if probe():
+                log(f"{name} failed with tunnel UP; marking failed")
+                open(os.path.join(OUT, marker), "w").write("failed\n")
+            else:
+                log(f"{name} died to tunnel outage; will retry")
+        time.sleep(5)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,11 +63,16 @@ class _FleetShardingMixin:
     def shard_batch(self, tree):
         """device_put every leaf of a batched pytree (frames, DPB, q-scale
         rows) with one stream-row group per mesh device. No-op when no
-        fleet sharding is set."""
+        fleet sharding is set; leaves whose leading dim doesn't tile the
+        mesh upload unsharded (same guard as _put — a 2-rate sweep on an
+        8-device fleet must run, just without that array sharded)."""
         if self._batch_sharding is None:
             return tree
+        size = self._batch_sharding.mesh.size
         return jax.tree_util.tree_map(
-            lambda v: jax.device_put(v, self._batch_sharding), tree)
+            lambda v: (jax.device_put(v, self._batch_sharding)
+                       if v.shape and v.shape[0] % size == 0
+                       else jnp.asarray(v)), tree)
 
     def _put(self, a):
         """Upload a batched host array, batch-sharded when fleet serving.
