@@ -119,8 +119,22 @@ def run(args):
     loader = OverfitLoader(batch, args.iters)
     test_loader = OverfitLoader(batch, 1)
 
-    params = do_train(cfg, model, params, loader, checkpointer=None,
-                      test_loader=test_loader)
+    # Per-epoch checkpointing + auto-resume: the axon tunnel flaps for
+    # hours at a time, and with epochs==1 per stage every epoch boundary
+    # is a stage boundary, so a killed run resumes exactly at the stage
+    # it died in instead of retraining from scratch (the optimizer is
+    # rebuilt at stage entry anyway, so no opt-state is lost).
+    from vcm_ts_tpu.train.checkpoint import CheckPointer
+    ckpt = CheckPointer(args.out)
+    start_epoch = 0
+    if ckpt.has_checkpoint():
+        params, _, extra = ckpt.load(params)
+        start_epoch = int(extra.get("epoch", 0))
+        print(f"resuming from epoch {start_epoch} "
+              f"({ckpt.get_checkpoint_file()})")
+
+    params = do_train(cfg, model, params, loader, checkpointer=ckpt,
+                      start_epoch=start_epoch, test_loader=test_loader)
 
     # ---- read back the metric trail --------------------------------------
     records = []
@@ -129,14 +143,20 @@ def run(args):
             records.append(json.loads(line))
     stage_by_step = {r["step"]: int(r["value"]) for r in records
                      if r["tag"] == "train/stage"}
-    per_stage = {}
+    # a killed-and-resumed run re-appends the dying stage's steps: keep only
+    # the LAST record per (tag, step) so stale pre-death values don't mix in
+    loss_by_step = {}
+    psnr_by_step = {}
     for r in records:
         if r["tag"].startswith("train/loss/") and r["step"] in stage_by_step:
-            s = stage_by_step[r["step"]]
-            per_stage.setdefault(s, {"steps": []})["steps"].append(
-                (r["step"], r["value"]))
-    eval_psnr = sorted((r["step"], r["value"]) for r in records
-                       if r["tag"].startswith("eval/psnr/"))
+            loss_by_step[(r["tag"], r["step"])] = r["value"]
+        elif r["tag"].startswith("eval/psnr/"):
+            psnr_by_step[(r["tag"], r["step"])] = r["value"]
+    per_stage = {}
+    for (_, step), value in loss_by_step.items():
+        s = stage_by_step[step]
+        per_stage.setdefault(s, {"steps": []})["steps"].append((step, value))
+    eval_psnr = sorted((step, v) for (_, step), v in psnr_by_step.items())
 
     print("\nstage | first-loss | last-loss | improved")
     stage_results = {}
@@ -168,9 +188,12 @@ def run(args):
         ok = ok and (psnr_last > psnr_first + 10.0)
 
     # ---- persist trained weights for downstream checks -------------------
-    from vcm_ts_tpu.train.checkpoint import CheckPointer
-    ckpt = CheckPointer(args.out)
-    ckpt.save("overfit_final", params, None)
+    # epoch kwarg keeps last_checkpoint.txt resume-consistent: a rerun over
+    # a completed output dir resumes past the end (no-op) instead of
+    # restarting stage 0 with trained weights.
+    from vcm_ts_tpu.train.stages import calc_max_epoch
+    ckpt.save("overfit_final", params, None,
+              epoch=calc_max_epoch(cfg.SOLVER.STAGES))
 
     verdict = {
         "converged": bool(ok),
