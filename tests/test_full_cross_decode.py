@@ -204,10 +204,22 @@ def test_our_compress_reference_decompress(twins):
             mv_y_q_scale=torch.tensor(0.8), y_q_scale=torch.tensor(1.2))
 
     theirs = rout["dpb"]["ref_frame"].numpy().transpose(0, 2, 3, 1)
-    np.testing.assert_allclose(
-        np.asarray(ours["dpb"]["ref_frame"]), theirs,
-        rtol=2e-3, atol=5e-4,
-        err_msg="reference decode of OUR bitstream diverged")
+    # Same bound structure as test_reference_compress_our_decompress below:
+    # torch's recon of our stream differs from ours by analog f32 noise
+    # (fusion/thread-count/machine dependent — a full-suite run on a host
+    # reloading the XLA AOT cache cross-machine measured 0.79% of pixels
+    # between 5e-4 and 1e-3) plus possible isolated scale-index boundary
+    # flips at ~a quant step (5e-3). A FORMAT bug desyncs the stream and
+    # puts hundreds of pixels at O(1), failing both bounds.
+    a = np.asarray(ours["dpb"]["ref_frame"])
+    d_frame = np.abs(a - theirs)
+    loose = d_frame > (5e-4 + 2e-3 * np.abs(theirs))
+    assert loose.mean() <= 0.02, (
+        f"{loose.sum()} / {loose.size} recon pixels diverged — "
+        "stream desync, not analog noise / isolated boundary flips")
+    assert d_frame.max() <= 5e-3, (
+        f"max recon deviation {d_frame.max():.2e} exceeds a quant step — "
+        "reference decode of OUR bitstream diverged")
     # The decoded latent planes must agree too (they feed the next frame)
     # — up to ISOLATED scale-index boundary flips: the per-position scale
     # index is a data-dependent f32 computation, and when torch and XLA
@@ -261,7 +273,10 @@ def test_reference_compress_our_decompress(twins):
     # mass bound, not this.
     d = np.abs(a - theirs)
     loose = d > (5e-4 + 2e-3 * np.abs(theirs))
-    assert loose.mean() <= 1e-3, (
+    # 2% mass bound matches the forward-direction frame check above: the
+    # loose fraction is machine/test-order dependent (0.02%-0.8% measured
+    # across hosts); a desync puts far more than 2% at O(1).
+    assert loose.mean() <= 0.02, (
         f"{loose.sum()} / {loose.size} recon pixels diverged — "
         "stream desync, not isolated boundary flips")
     assert d.max() <= 5e-3, (
