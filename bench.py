@@ -30,38 +30,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
-import sys
 import time
 
 import numpy as np
 
+from vcm_ts_tpu.utils.tpu_probe import probe_tpu as _probe_tpu
+
 NORTH_STAR_FPS = 60.0  # BASELINE.md
-
-
-def _probe_tpu(timeout_s: float) -> tuple[bool, str]:
-    """Tiny-matmul liveness probe in a subprocess under a hard timeout.
-
-    A subprocess is the only reliable watchdog: with the tunnel down, axon
-    backend init blocks inside PJRT for ~40 min and is not interruptible
-    from Python. The child inherits this process's env (so it probes the
-    same backend bench would use); `float(...)` forces a host fetch, the
-    only completion barrier the tunnel honors (PERF.md).
-    """
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((128, 128)); "
-            "print('PROBE_OK', float((x @ x).sum()), "
-            "jax.devices()[0].platform)")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False, f"probe timed out after {timeout_s:.0f}s"
-    if proc.returncode != 0 or "PROBE_OK" not in proc.stdout:
-        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-        return False, f"probe rc={proc.returncode}: " + " | ".join(tail)
-    return True, proc.stdout.strip()
 
 
 def _emit(obj) -> None:
@@ -123,7 +98,7 @@ def main():
                 "vs_baseline": 0.0,
                 "error": f"tpu-unavailable: {detail} — the axon tunnel is "
                          f"down; re-run when a tiny matmul succeeds "
-                         f"(bench.py:_probe_tpu)",
+                         f"(vcm_ts_tpu/utils/tpu_probe.py)",
             })
             return
 

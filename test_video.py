@@ -301,6 +301,30 @@ def run_test_batched(video_codec, i_codec, tasks, verbose=0):
             for r in range(n)]
 
 
+def fleet_mesh_size(tasks, n_local_devices):
+    """(group_rows, mesh_devices) for --fleet serving.
+
+    The mesh must tile every batched group's batch axis. Group sizes are
+    NOT always rate_num: multi-host runs stride the task list, leaving
+    each per-sequence group rate_num/process_count-ish rows — sizing from
+    rate_num would make every shard_batch fall back to unsharded
+    silently. Use the gcd of the actual per-(dataset, sequence) row
+    counts this process will run, capped by the local device count.
+    """
+    import math
+
+    rows = 0
+    group_sizes = {}
+    for task in tasks:
+        key = (task["ds_name"], task["video_path"])
+        group_sizes[key] = group_sizes.get(key, 0) + 1
+    for size in group_sizes.values():
+        rows = math.gcd(rows, size)
+    if rows == 0:  # no tasks on this rank: gcd(0, n) = n would lie
+        return 0, 1
+    return rows, math.gcd(rows, n_local_devices)
+
+
 def build_codecs(args):
     """Load models/engines once; jit caches are shared across tasks."""
     import jax
@@ -374,23 +398,8 @@ def main():
 
     i_codec, video_codec = build_codecs(args)
 
-    if args.fleet:
-        import math
-
-        import jax
-        if not args.batch_rates:
-            raise SystemExit("--fleet requires --batch_rates")
-        from jax.sharding import Mesh
-        # each batched group holds rate_num stream rows; the mesh must tile
-        # that batch axis, so use the largest device count that divides it
-        n_dev = math.gcd(args.rate_num, len(jax.local_devices()))
-        mesh = Mesh(np.array(jax.local_devices()[:n_dev]), ("data",))
-        for codec in (i_codec, video_codec):
-            if codec is not None:
-                codec.set_fleet_sharding(mesh)
-        print(f"fleet serving over {mesh.size} local devices"
-              + ("" if n_dev > 1 else
-                 " (rate_num shares no factor with the device count)"))
+    if args.fleet and not args.batch_rates:
+        raise SystemExit("--fleet requires --batch_rates")
 
     root_path = args.force_root_path or config["root_path"]
     config = config["test_classes"]
@@ -447,6 +456,21 @@ def main():
     if jax.process_count() > 1:
         tasks = tasks[jax.process_index()::jax.process_count()]
         args.output_path = f"{args.output_path}.rank{jax.process_index()}"
+
+    if args.fleet:
+        from jax.sharding import Mesh
+        rows, n_dev = fleet_mesh_size(tasks, len(jax.local_devices()))
+        if n_dev > 1:
+            mesh = Mesh(np.array(jax.local_devices()[:n_dev]), ("data",))
+            for codec in (i_codec, video_codec):
+                if codec is not None:
+                    codec.set_fleet_sharding(mesh)
+            print(f"fleet serving over {n_dev} local devices "
+                  f"({rows}-row rate groups)")
+        else:
+            print("fleet serving disabled: group row count "
+                  f"({rows}) shares no factor with the local device "
+                  f"count ({len(jax.local_devices())})")
 
     results = []
     if args.batch_rates:

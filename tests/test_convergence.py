@@ -51,3 +51,90 @@ def test_overfit_curriculum_mechanics(tmp_path):
     s3 = [v for step, v in losses if stage_by_step.get(step) == 3]
     assert len(s3) >= 8
     assert s3[-1] < s3[0] * 0.5, (s3[0], s3[-1])
+
+
+def _tiny_train_setup(n_epochs, out_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from tools.overfit_run import OverfitLoader, make_synthetic_batch
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.train.config import default_training_cfg
+
+    cfg = default_training_cfg()
+    cfg.MODEL.CHANNELS = [16, 16, 24]
+    cfg.SOLVER.LAMBDAS = [85.0, 170.0]
+    cfg.DATASET.SEQUENCE_LENGTH = 2
+    cfg.SOLVER.GRAD_CLIP_NORM = 1.0
+    cfg.SOLVER.STAGES = [
+        ["1", "me", "single", "me", "none", "1e-4", str(n_epochs), "false"],
+    ]
+    cfg.OUTPUT_DIR = out_dir
+    cfg.TENSORBOARD.BEST_SAMPLES_NUM = 0
+    cfg.TENSORBOARD.WORST_SAMPLES_NUM = 0
+    cfg.freeze()
+
+    model = DMC(anchor_num=2, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                        1.0, 1.0, method="init_all")
+    loader = OverfitLoader(make_synthetic_batch(2, 2, 64), 1)
+    return cfg, model, params, loader
+
+
+@pytest.mark.slow
+def test_midstage_resume_restores_opt_state(tmp_path, caplog):
+    """A resume that lands mid-stage must restore the saved Adam moments
+    into the freshly built stage optimizer; a resume at a stage boundary
+    must not (the optimizer is rebuilt from scratch there by design)."""
+    import logging
+
+    from vcm_ts_tpu.train.checkpoint import CheckPointer
+    from vcm_ts_tpu.train.train_loop import do_train
+
+    out = str(tmp_path)
+    # epoch 0 of what will be a 2-epoch stage, checkpointed
+    cfg1, model, params, loader = _tiny_train_setup(1, out)
+    ckpt = CheckPointer(out)
+    do_train(cfg1, model, params, loader, checkpointer=ckpt)
+    blob = ckpt.load_opt_blob()
+    assert blob, "checkpoint carries no serialized opt_state"
+
+    # resume at epoch 1 of the 2-epoch stage: mid-stage -> restore
+    cfg2, model2, params2, loader2 = _tiny_train_setup(2, out)
+    params2, _, extra = ckpt.load(params2)
+    assert int(extra["epoch"]) == 1
+    with caplog.at_level(logging.INFO, logger="CORE"):
+        do_train(cfg2, model2, params2, loader2, checkpointer=None,
+                 start_epoch=1, resume_opt_blob=blob)
+    assert any("Restored optimizer state" in r.message
+               for r in caplog.records)
+
+    # same blob, but start_epoch sits at a stage boundary -> no restore
+    caplog.clear()
+    cfg3 = default_two_stage_cfg(out)
+    _, model3, params3, loader3 = _tiny_train_setup(1, out)
+    with caplog.at_level(logging.INFO, logger="CORE"):
+        do_train(cfg3, model3, params3, loader3, checkpointer=None,
+                 start_epoch=1, resume_opt_blob=blob)
+    assert not any("Restored optimizer state" in r.message
+                   for r in caplog.records)
+
+
+def default_two_stage_cfg(out_dir):
+    from vcm_ts_tpu.train.config import default_training_cfg
+
+    cfg = default_training_cfg()
+    cfg.MODEL.CHANNELS = [16, 16, 24]
+    cfg.SOLVER.LAMBDAS = [85.0, 170.0]
+    cfg.DATASET.SEQUENCE_LENGTH = 2
+    cfg.SOLVER.GRAD_CLIP_NORM = 1.0
+    cfg.SOLVER.STAGES = [
+        ["1", "me", "single", "me", "none", "1e-4", "1", "false"],
+        ["1", "rec", "single", "rec", "none", "1e-4", "1", "false"],
+    ]
+    cfg.OUTPUT_DIR = out_dir
+    cfg.TENSORBOARD.BEST_SAMPLES_NUM = 0
+    cfg.TENSORBOARD.WORST_SAMPLES_NUM = 0
+    cfg.freeze()
+    return cfg

@@ -170,6 +170,29 @@ def test_batched_rates_entropy_estimated(tiny_codecs, png_sequence):
                                    single[r]["frame_psnr"], atol=0.1)
 
 
+def test_fleet_mesh_size():
+    """--fleet mesh sizing must follow the actual per-group row counts,
+    including multi-host striding leaving fewer rows than rate_num."""
+    import test_video as tv
+
+    def mk(ds, seq, n):
+        return [{"ds_name": ds, "video_path": seq}] * n
+
+    # single host: 2 sequences x 4 rate rows, 8 local devices -> 4-wide
+    tasks = mk("A", "s1", 4) + mk("A", "s2", 4)
+    assert tv.fleet_mesh_size(tasks, 8) == (4, 4)
+    # 2-process stride of the same sweep: 2 rows per group on this rank
+    assert tv.fleet_mesh_size(mk("A", "s1", 2) + mk("A", "s2", 2), 8) \
+        == (2, 2)
+    # ragged groups: gcd(4, 2) = 2
+    assert tv.fleet_mesh_size(mk("A", "s1", 4) + mk("A", "s2", 2), 8) \
+        == (2, 2)
+    # rows share no factor with devices -> disabled (1)
+    assert tv.fleet_mesh_size(mk("A", "s1", 3), 8) == (3, 1)
+    # no tasks on this rank -> disabled
+    assert tv.fleet_mesh_size([], 8) == (0, 1)
+
+
 def test_batched_rates_fleet_sharded(tmp_path, tiny_codecs, png_sequence):
     """--fleet mode: run_test_batched with the codecs' batch axis sharded
     over a 2-device mesh produces per-rate logs equivalent to the

@@ -116,3 +116,27 @@ def test_subpel_conv_module_fast_path():
                 np.asarray(a), np.asarray(b)), params, params_fast)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5,
                                    err_msg=f"kernel={kernel}")
+
+
+def test_subpel_conv_module_fast_path_mixed_precision():
+    """bf16 input + f32 params: the fast path must follow nn.Conv's
+    promote_dtype semantics (compute in f32, f32 output), not downcast
+    the weights to the activation dtype."""
+    from vcm_ts_tpu.ops.layers import SubpelConv
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 6)), jnp.bfloat16)
+    for kernel in (1, 3):
+        mod = SubpelConv(4, 2, kernel=kernel)
+        params = mod.init(jax.random.PRNGKey(0), x)  # params stay f32
+        want = mod.apply(params, x)
+        layers.set_fast_shuffle(True)
+        try:
+            got = mod.apply(params, x)
+        finally:
+            layers.set_fast_shuffle(False)
+        assert got.dtype == want.dtype == jnp.float32, (
+            f"kernel={kernel}: dtype {got.dtype} vs plain {want.dtype}")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5,
+            err_msg=f"kernel={kernel}")

@@ -122,19 +122,23 @@ def run(args):
     # Per-epoch checkpointing + auto-resume: the axon tunnel flaps for
     # hours at a time, and with epochs==1 per stage every epoch boundary
     # is a stage boundary, so a killed run resumes exactly at the stage
-    # it died in instead of retraining from scratch (the optimizer is
-    # rebuilt at stage entry anyway, so no opt-state is lost).
+    # it died in instead of retraining from scratch. With --epochs > 1 a
+    # resume can land mid-stage; the saved opt blob lets do_train restore
+    # the Adam moments there instead of restarting them from zero.
     from vcm_ts_tpu.train.checkpoint import CheckPointer
     ckpt = CheckPointer(args.out)
     start_epoch = 0
+    resume_opt_blob = b""
     if ckpt.has_checkpoint():
         params, _, extra = ckpt.load(params)
         start_epoch = int(extra.get("epoch", 0))
+        resume_opt_blob = ckpt.load_opt_blob()
         print(f"resuming from epoch {start_epoch} "
               f"({ckpt.get_checkpoint_file()})")
 
     params = do_train(cfg, model, params, loader, checkpointer=ckpt,
-                      start_epoch=start_epoch, test_loader=test_loader)
+                      start_epoch=start_epoch, test_loader=test_loader,
+                      resume_opt_blob=resume_opt_blob)
 
     # ---- read back the metric trail --------------------------------------
     records = []

@@ -8,16 +8,19 @@ so a flip needs the two stacks' predicted sigmas (or their f32 logs) to
 straddle a row boundary. This study measures each link in that chain on the
 cross-decode twins' weights:
 
-1. sigma agreement: rel diff of the torch-vs-jax scale planes on identical
-   inputs (the f32 conv/fusion noise floor between the stacks);
-2. derivation agreement: index flips when BOTH derivations get the SAME
-   sigma plane (isolates log/floor implementation differences);
-3. end-to-end flips: torch-sigmas->torch-indexes vs jax-sigmas->jax-indexes
-   (what cross-decode actually experiences), with each flip's distance to
-   the nearest row boundary in index units;
-4. the impossibility control: torch vs torch at different intra-op thread
-   counts — if the REFERENCE disagrees with ITSELF across thread counts,
-   no derivation trick on our side can make cross-stack indexes exact.
+1. derivation agreement: index flips when BOTH derivations get the SAME
+   sigma plane (isolates log/floor implementation differences from sigma
+   noise);
+2. end-to-end flips: our encoder's own uint8 index planes (the ones the
+   rANS coder writes with) vs torch-sigmas->torch-indexes — what
+   cross-decode actually experiences — plus each flipped position's
+   distance to the nearest row boundary in index units, and the boundary-
+   distance distribution of every position (how much of the plane sits
+   within sigma-noise reach of a boundary);
+3. the impossibility control: torch vs torch at different intra-op thread
+   counts — if the REFERENCE disagrees with ITSELF across thread counts
+   (its sigma planes shift by reassociation through the conv stack), no
+   derivation trick on our side can make cross-stack indexes exact.
 
 Prints one JSON dict. Run on CPU:
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/scale_index_flip_study.py
@@ -83,27 +86,19 @@ def main():
 
     gauss = GaussianCoder("laplace")
 
-    # ---- jax side: run the forward and capture the y scale plane --------
-    out_j = model.apply(params, jnp.asarray(x),
-                        make_dpb(jnp.asarray(ref), 64, 96), 0.8, 1.2, True)
-    scales_j = np.asarray(out_j["scales_y"], np.float32) \
-        if "scales_y" in out_j else None
+    # ---- jax side: the codec's own encode-path index planes -------------
+    # _compress_planes derives the exact uint8 scale-index planes the rANS
+    # encoder writes with, in checkerboard order mv_0, mv_1, y_0, y_1 —
+    # the same order torch's compress calls gaussian_encoder.build_indexes.
+    from vcm_ts_tpu.codec.engine import VideoCodec
 
-    # the forward may not expose scales; recompute via the codec's stage
-    # chain if needed
-    if scales_j is None:
-        from vcm_ts_tpu.codec.engine import VideoCodec
-
-        codec = VideoCodec(model, params)
-        codec.update()
-        planes = codec._compress_planes(
-            jnp.asarray(x), make_dpb(jnp.asarray(ref), 64, 96), 0.8, 1.2,
-            True)
-        # mv idx planes step0/step1 (uint8 rows) — we study these directly
-        idx_j = {k: np.asarray(v) for k, v in planes.items()
-                 if k.endswith(("idx_w_0", "idx_w_1"))}
-    else:
-        idx_j = {"y": np.asarray(gauss.build_indexes(scales_j))}
+    codec = VideoCodec(model, params)
+    codec.update()
+    planes = codec._compress_planes(
+        jnp.asarray(x), make_dpb(jnp.asarray(ref), 64, 96), 0.8, 1.2,
+        True)
+    idx_j = [np.asarray(planes[k]).astype(np.int32)
+             for k in ("mv_idx_w_0", "mv_idx_w_1", "idx_w_0", "idx_w_1")]
 
     # ---- torch side: hook build_indexes to capture sigma + index planes -
     captured = []
@@ -135,6 +130,7 @@ def main():
         return np.clip((np.log(s) - log_min) / step, 0,
                        levels - 1).astype(np.int32)
 
+    plane_names = ("mv_w0", "mv_w1", "y_w0", "y_w1")
     for i, sc_t in enumerate(captured):
         sc_t_nhwc = sc_t.transpose(0, 2, 3, 1)
         # 2. same-sigma, two derivations: jnp vs torch on the torch plane
@@ -145,13 +141,21 @@ def main():
             .transpose(0, 2, 3, 1))
         same_sigma_flips = int((idx_jax_on_t != idx_torch_on_t).sum())
 
-        # 3. boundary distance of every position (index units)
+        # 1.+3. end to end: our encoder's own uint8 index plane vs the
+        # torch-sigma->torch-index plane — what cross-decode experiences.
+        # Same checkerboard call order and shape on both stacks (verified
+        # mv0/mv1/y0/y1, NHWC<->NCHW).
+        flips_e2e = (idx_j[i] != idx_torch_on_t.astype(np.int32))
         fidx = (np.log(np.maximum(sc_t_nhwc, 1e-5)) - log_min) / step
         dist = np.abs(fidx - np.round(fidx))
+        flip_dists = dist[flips_e2e]
         report["planes"].append({
-            "plane": i,
+            "plane": plane_names[i],
             "n": int(sc_t.size),
             "same_sigma_derivation_flips": same_sigma_flips,
+            "end_to_end_flips": int(flips_e2e.sum()),
+            "end_to_end_flip_boundary_distances":
+                [float(v) for v in np.sort(flip_dists)[:8]],
             "min_boundary_distance": float(dist.min()),
             "p01_boundary_distance": float(np.percentile(dist, 1)),
         })

@@ -27,8 +27,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "artifacts", "tpu_watch")
-PROBE = ("import jax, jax.numpy as jnp; x = jnp.ones((256,256), jnp.bfloat16); "
-         "print('OK', float((x@x).sum()))")
+sys.path.insert(0, REPO)
+
+from vcm_ts_tpu.utils.tpu_probe import probe_tpu  # noqa: E402
 
 
 def log(msg):
@@ -39,29 +40,39 @@ def log(msg):
 
 
 def probe(timeout=120):
-    try:
-        r = subprocess.run([sys.executable, "-c", PROBE], cwd=REPO,
-                           timeout=timeout, capture_output=True, text=True)
-        return r.returncode == 0 and "OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    return probe_tpu(timeout)[0]
 
 
 def run_job(name, cmd, timeout):
-    """Run one job; return True on rc=0. Logs to <name>.log."""
+    """Run one job; return "ok" | "fail" | "outage". Logs to <name>.log.
+
+    "outage" (always retried by main) covers rc=0 runs whose output
+    contains a structured tpu-unavailable error: bench.py deliberately
+    exits 0 with an {"error": "tpu-unavailable..."} JSON line when its
+    own probe fails (so the driver captures a parseable artifact), and
+    marking that 'ok' would silently skip the queued benchmark forever —
+    the empty-artifact failure mode this watcher exists to prevent.
+    """
     path = os.path.join(OUT, name + ".log")
     log(f"start {name}: {' '.join(cmd)}")
     with open(path, "a") as f:
         f.write(f"\n=== {time.strftime('%F %T')} {' '.join(cmd)}\n")
         f.flush()
+        start = f.tell()
         try:
             r = subprocess.run(cmd, cwd=REPO, stdout=f, stderr=f,
                                timeout=timeout)
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = -1
+    with open(path) as f:
+        f.seek(start)
+        appended = f.read()
+    if "tpu-unavailable" in appended:
+        log(f"done {name}: rc={rc} with tpu-unavailable reported")
+        return "outage"
     log(f"done {name}: rc={rc}")
-    return rc == 0
+    return "ok" if rc == 0 else "fail"
 
 
 JOBS = [
@@ -109,9 +120,11 @@ def main():
             log("bf16_gate: checkpoint missing (overfit failed?); skipping")
             open(os.path.join(OUT, marker), "w").write("skipped\n")
             continue
-        ok = run_job(name, cmd, timeout)
-        if ok:
+        status = run_job(name, cmd, timeout)
+        if status == "ok":
             open(os.path.join(OUT, marker), "w").write("ok\n")
+        elif status == "outage":
+            log(f"{name} hit a tunnel outage; will retry")
         else:
             # re-probe: if the tunnel died mid-job, retry later; if the
             # chip is fine the job itself is broken — mark failed so the

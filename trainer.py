@@ -39,10 +39,15 @@ def train_model(cfg, args):
 
     checkpointer = CheckPointer(cfg.OUTPUT_DIR, logger)
     start_epoch = 0
+    resume_opt_blob = b""
     if cfg.MODEL.PRETRAINED_WEIGHTS or checkpointer.has_checkpoint():
         params, _, extra = checkpointer.load(
             params, path=cfg.MODEL.PRETRAINED_WEIGHTS or None)
         start_epoch = int(extra.get("epoch", 0))
+        # raw bytes: the opt template only exists once do_train enters the
+        # resumed stage; it restores these there on a mid-stage resume
+        resume_opt_blob = checkpointer.load_opt_blob(
+            path=cfg.MODEL.PRETRAINED_WEIGHTS or None)
 
     # I-frame bootstrap (train.py:197-214)
     i_frame_fn = None
@@ -102,7 +107,8 @@ def train_model(cfg, args):
                     start_epoch=start_epoch, seed=args.seed,
                     test_loader=test_loader, i_frame_fn=i_frame_fn,
                     pl_fn=pl_fn, od_loader=od_loader,
-                    detector_fn=detector_fn)
+                    detector_fn=detector_fn,
+                    resume_opt_blob=resume_opt_blob)
 
 
 def main():

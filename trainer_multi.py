@@ -74,10 +74,14 @@ def main():
     # guards saves with is_main.
     checkpointer = CheckPointer(cfg.OUTPUT_DIR, logger)
     start_epoch = 0
+    resume_opt_blob = b""
     if cfg.MODEL.PRETRAINED_WEIGHTS or checkpointer.has_checkpoint():
         params, _, extra = checkpointer.load(
             params, path=cfg.MODEL.PRETRAINED_WEIGHTS or None)
         start_epoch = int(extra.get("epoch", 0))
+        # restored by do_train at the resumed stage entry (mid-stage only)
+        resume_opt_blob = checkpointer.load_opt_blob(
+            path=cfg.MODEL.PRETRAINED_WEIGHTS or None)
 
     # Per-process loader shard (DistributedSampler equivalent); each process
     # contributes len(LAMBDAS) rows to the global batch.
@@ -107,7 +111,7 @@ def main():
              start_epoch=start_epoch, seed=args.seed,
              test_loader=test_loader, world_size=world_size,
              is_main=(rank == 0), mesh=mesh, od_loader=od_loader,
-             detector_fn=detector_fn)
+             detector_fn=detector_fn, resume_opt_blob=resume_opt_blob)
 
 
 if __name__ == "__main__":

@@ -140,8 +140,14 @@ class SubpelConv(nn.Module):
         cin = x.shape[-1]
         cout = self.features * self.r ** 2
         w, b = _ConvParams(cin, cout, self.kernel, name="0")()
-        wp = permute_out_channels(w.astype(x.dtype), self.r)
-        bp = permute_out_channels(b.astype(x.dtype), self.r)
+        # match nn.Conv(dtype=None) promote_dtype semantics: compute in the
+        # promoted dtype (f32 params + bf16 input -> f32), not x.dtype —
+        # downcasting the weights would silently change mixed-precision
+        # numerics and the output dtype vs the plain path
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        x = x.astype(dt)
+        wp = permute_out_channels(w.astype(dt), self.r)
+        bp = permute_out_channels(b.astype(dt), self.r)
         interp = jax.default_backend() == "cpu"  # CPU tests: interpret mode
         if self.kernel == 1:
             wk = wp.reshape(cin, self.r ** 2, self.features)

@@ -77,6 +77,26 @@ class CheckPointer:
         extra = json.loads(blobs[2].decode()) if blobs[2] else {}
         return params, opt_state, extra
 
+    def load_opt_blob(self, path: Optional[str] = None,
+                      use_latest: bool = True) -> bytes:
+        """Raw serialized opt_state bytes from a checkpoint (b"" if absent).
+
+        The optimizer template doesn't exist until do_train enters the
+        resumed stage (make_stage_optimizer builds it from the stage's
+        trainable mask), so resume callers pass these bytes to do_train's
+        resume_opt_blob instead of deserializing here — otherwise a
+        mid-stage resume would silently restart Adam moments from zero.
+        """
+        if self.has_checkpoint() and use_latest:
+            path = self.get_checkpoint_file()
+        if not path or path.endswith(".pth"):
+            return b""
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(8), "little")
+            f.seek(n, 1)
+            n = int.from_bytes(f.read(8), "little")
+            return f.read(n)
+
     # ------------------------------------------------------------------ tags
     def has_checkpoint(self) -> bool:
         return bool(self.save_dir) and os.path.exists(

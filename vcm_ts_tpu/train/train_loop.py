@@ -43,7 +43,8 @@ def do_train(cfg, model, params, data_loader, checkpointer,
              world_size: int = 1, is_main: bool = True,
              writer: Optional[MetricWriter] = None,
              max_iterations_per_epoch: Optional[int] = None,
-             mesh=None, od_loader=None, detector_fn=None):
+             mesh=None, od_loader=None, detector_fn=None,
+             resume_opt_blob: bytes = b""):
     """Runs the full stage curriculum; returns final params.
 
     With `mesh` (a jax.sharding.Mesh with a "data" axis, possibly spanning
@@ -96,6 +97,24 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                 params, stage.trainable_mode, stage.lr * lr_scale,
                 grad_clip_norm=float(
                     getattr(cfg.SOLVER, "GRAD_CLIP_NORM", 0.0)))
+            # Mid-stage resume: restore the saved Adam moments into the
+            # freshly built optimizer, else the resumed trajectory differs
+            # from an uninterrupted run. Only applies when start_epoch is
+            # not this stage's first epoch — at a stage boundary the
+            # optimizer is rebuilt from scratch by design (and the saved
+            # blob has the previous stage's mask structure anyway).
+            if (resume_opt_blob and epoch == start_epoch and start_epoch > 0
+                    and get_stage_params(cfg, start_epoch - 1).stage
+                    == stage.stage):
+                from flax import serialization
+                try:
+                    opt_state = serialization.from_bytes(
+                        opt_state, resume_opt_blob)
+                    logger.info("Restored optimizer state mid-stage "
+                                "(epoch %d)", start_epoch)
+                except Exception as e:  # structure drift: warn, keep fresh
+                    logger.warning("Could not restore optimizer state "
+                                   "(%s); continuing with fresh moments", e)
             if mesh is not None:
                 params = pm.replicate(params, mesh)
                 opt_state = pm.replicate(opt_state, mesh)
