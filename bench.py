@@ -79,6 +79,9 @@ def main():
                     help="training throughput: cascade RD step (f32, "
                          "256x256 crops, batch=4 rate anchors, BPTT over "
                          "--p-frames, CASCADE_REMAT on)")
+    ap.add_argument("--mp", action="store_true",
+                    help="with --train-step: SOLVER.MIXED_PRECISION mode "
+                         "(bf16 compute, f32 master params/moments)")
     ap.add_argument("--p-frames", type=int, default=2)
     ap.add_argument("--probe-timeout", type=float,
                     default=float(os.environ.get("BENCH_PROBE_TIMEOUT",
@@ -332,7 +335,9 @@ def bench_train_step(args) -> dict:
     tx, opt_state = make_stage_optimizer(params, "all", 1e-4)
     step = make_cascade_step(model, tx, stage,
                              lambdas=[85.0, 170.0, 380.0, 840.0],
-                             dist_lambda=1.0, pl_lambda=0.0)
+                             dist_lambda=1.0, pl_lambda=0.0,
+                             compute_dtype=(jnp.bfloat16 if args.mp
+                                            else None))
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.random(
         (args.p_frames, 4, 256, 256, 3)), jnp.float32)
@@ -354,7 +359,8 @@ def bench_train_step(args) -> dict:
     dt = (time.perf_counter() - t0) / n_steps
     fps = 4 * args.p_frames / dt  # frames consumed per second
     return {
-        "metric": f"cascade train step frames/s (f32, 256x256, "
+        "metric": f"cascade train step frames/s "
+                  f"({'bf16-mp' if args.mp else 'f32'}, 256x256, "
                   f"batch=4 anchors, p_frames={args.p_frames}, BPTT, "
                   f"remat)",
         "value": round(fps, 3),

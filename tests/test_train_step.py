@@ -243,3 +243,61 @@ def test_cascade_remat_matches_no_remat():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         outs[True][0], outs[False][0])
+
+
+# ---------------------------------------------------------- mixed precision
+def test_cast_for_compute_keeps_entropy_tables_f32():
+    _, params = tiny_model_and_params()
+    cast = ts.cast_for_compute(params, jnp.bfloat16)
+    assert cast["params"]["optic_flow"]["moduleBasic.0"]["conv1"][
+        "kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["bit_estimator_z"]["f1"]["a"].dtype == jnp.float32
+    assert cast["params"]["bit_estimator_z_mv"]["f1"]["a"
+                                                      ].dtype == jnp.float32
+    # masters untouched
+    assert params["params"]["optic_flow"]["moduleBasic.0"]["conv1"][
+        "kernel"].dtype == jnp.float32
+
+
+def test_mixed_precision_step_trains_with_f32_masters():
+    """SOLVER.MIXED_PRECISION: bf16 compute with f32 master params — the
+    step must keep every parameter and Adam moment f32, produce a loss
+    close to the f32 step's, and still train (loss decreases)."""
+    model, params = tiny_model_and_params()
+    # contractive weights: raw Xavier init amplifies bf16 rounding noise
+    # exponentially through the recon UNets (same recipe as the sharding
+    # equivalence tests)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: v * 0.5 if path[-1].key == "kernel" else v, params)
+    stage = _stage(trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    seqs = _sequences()
+
+    def run(compute_dtype, iters):
+        tx, opt_state = make_stage_optimizer(params, stage.trainable_mode,
+                                             1e-4)
+        step = ts.make_single_frame_step(
+            model, tx, stage, lambdas=[85., 170.], dist_lambda=1.0,
+            pl_lambda=0.0, compute_dtype=compute_dtype)
+        p, s = params, opt_state
+        losses = []
+        rng = jax.random.PRNGKey(1)
+        for _ in range(iters):
+            rng, sub = jax.random.split(rng)
+            p, s, aux_list = ts.run_single_sequence(
+                model, step, p, s, seqs, seqs, stage, sub)
+            losses.append(float(np.mean([np.mean(a.loss)
+                                         for a in aux_list])))
+        return losses, p
+
+    losses_mp, p_mp = run(jnp.bfloat16, 4)
+    losses_f32, _ = run(None, 1)
+
+    # masters stay f32 through the update
+    for leaf in jax.tree_util.tree_leaves(p_mp):
+        assert leaf.dtype != jnp.bfloat16, "a master param was downcast"
+    # the bf16 loss agrees with f32 at the % level on contractive weights
+    assert np.isfinite(losses_mp).all(), losses_mp
+    np.testing.assert_allclose(losses_mp[0], losses_f32[0], rtol=5e-2)
+    # and training still converges
+    assert losses_mp[-1] < losses_mp[0], losses_mp

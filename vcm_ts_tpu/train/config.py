@@ -65,6 +65,13 @@ def default_training_cfg() -> CfgNode:
     # p_frames; ~1/3 extra backward FLOPs). Off reproduces the reference's
     # keep-everything autograd behavior.
     cfg.SOLVER.CASCADE_REMAT = True
+    # bf16 compute for the train forward/backward with f32 master params
+    # and Adam moments (the bit-estimator CDF tables also stay f32 — see
+    # train_step.cast_for_compute). No loss scaling needed: bf16 keeps
+    # f32's exponent range. Off by default: the reference trains f32, and
+    # the RD impact on trained weights is gated by tools/bf16_bd_gate.py
+    # before this becomes the recommended setting.
+    cfg.SOLVER.MIXED_PRECISION = False
     # 8-field stage tuples:
     # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
     #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]

@@ -119,17 +119,21 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                 params = pm.replicate(params, mesh)
                 opt_state = pm.replicate(opt_state, mesh)
             pl = pl_fn if stage.perceptual_loss else None
+            compute_dtype = (jnp.bfloat16 if getattr(
+                cfg.SOLVER, "MIXED_PRECISION", False) else None)
             if stage.forward_method == "single":
                 step_fn = make_single_frame_step(
                     model, tx, stage, lambdas=lambdas,
                     dist_lambda=cfg.SOLVER.DIST_LAMBDA,
-                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl)
+                    pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
+                    compute_dtype=compute_dtype)
             else:
                 step_fn = make_cascade_step(
                     model, tx, stage, lambdas=lambdas,
                     dist_lambda=cfg.SOLVER.DIST_LAMBDA,
                     pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
-                    remat=getattr(cfg.SOLVER, "CASCADE_REMAT", True))
+                    remat=getattr(cfg.SOLVER, "CASCADE_REMAT", True),
+                    compute_dtype=compute_dtype)
 
         data_loader.set_epoch(epoch)
         for it, (inputs, targets) in enumerate(data_loader):

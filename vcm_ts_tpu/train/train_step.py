@@ -46,16 +46,55 @@ def _psnr(mse):
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
 
 
+# Mixed-precision keep-list: parameter subtrees that stay f32 even in bf16
+# compute mode. The factorized bit estimators' CDF tables (a/b/c/h) shape
+# likelihoods through nested sigmoids whose saturation is precision-
+# sensitive, and they're tiny — flax promotes their inputs to f32 locally,
+# so keeping them costs nothing.
+_MP_KEEP_F32 = ("bit_estimator",)
+
+
+def cast_for_compute(params, dtype):
+    """Cast f32 weights to the compute dtype for a bf16 forward/backward.
+
+    Master parameters (and the Adam moments) stay f32 in the optimizer —
+    the cast happens inside the loss so its VJP accumulates gradients back
+    into f32 (the standard mixed-precision split: bf16 compute, f32
+    state). bf16's f32-equal exponent range means no loss scaling is
+    needed, unlike fp16 (SURVEY.md perf notes)."""
+    def cast(path, v):
+        name = jax.tree_util.keystr(path)
+        if v.dtype != jnp.float32 or any(k in name for k in _MP_KEEP_F32):
+            return v
+        return v.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, tree)
+
+
 def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
                pl_lambda, loss_rate_keys: Sequence[str], loss_dist_key: str,
                pl_fn: Optional[Callable], noise_rng, is_first_p: bool,
-               training: bool = True):
+               training: bool = True, compute_dtype=None):
     """RD (+ optional perceptual) loss for one P-frame
     (dcvc_hem.py:199-216).
 
     Batch rows cycle through the rate anchors: a global batch of
     k * anchor_num rows tiles q_scale/lambda k times — the layout a k-rank
-    DDP run produces in the reference (each rank's batch = len(LAMBDAS))."""
+    DDP run produces in the reference (each rank's batch = len(LAMBDAS)).
+
+    compute_dtype (SOLVER.MIXED_PRECISION): run the model forward/backward
+    in bf16 (weights cast inside the loss, so gradients and the optimizer
+    stay f32 master-precision); the model outputs are upcast before the
+    loss/metric math so rate+distortion accumulate in f32."""
+    if compute_dtype is not None:
+        params = cast_for_compute(params, compute_dtype)
+        x = x.astype(compute_dtype)
+        dpb = _cast_tree(dpb, compute_dtype)
     mv_q = params["params"]["mv_y_q_scale"]
     y_q = params["params"]["y_q_scale"]
     reps = x.shape[0] // mv_q.shape[0]
@@ -66,6 +105,13 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
         lambdas = jnp.tile(lambdas, x.shape[0] // lambdas.shape[0])
     out = model.apply(params, x, dpb, mv_q, y_q, is_first_p,
                       training=training, noise_rng=noise_rng)
+    if compute_dtype is not None:
+        # loss/metric math and the DPB carry in f32 (the next frame's loss
+        # downcasts the carry again, so the cascade scan's carry dtype is
+        # invariant across iterations)
+        out = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32)
+            if v.dtype == compute_dtype else v, out)
 
     rate = jnp.zeros_like(lambdas)
     for key in loss_rate_keys:
@@ -99,13 +145,16 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
 
 
 def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
-                           pl_lambda, pl_fn=None):
+                           pl_lambda, pl_fn=None, compute_dtype=None):
     """Jitted per-frame gradient step for the 'single' strategy.
 
     Returns step(params, opt_state, x, target, dpb, rng, is_first_p) ->
     (params, opt_state, aux, new_dpb). Mesh-polymorphic: with a data-sharded
     global batch and replicated params, XLA derives the DDP gradient
-    all-reduce from the mean-loss structure — no explicit collective."""
+    all-reduce from the mean-loss structure — no explicit collective.
+
+    compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 with f32
+    master params/moments (SOLVER.MIXED_PRECISION)."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
 
@@ -115,7 +164,8 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
             dist_lambda=dist_lambda, pl_lambda=pl_lambda,
             loss_rate_keys=stage.loss_rate_keys,
             loss_dist_key=stage.loss_dist_key,
-            pl_fn=pl_fn, noise_rng=rng, is_first_p=is_first_p)
+            pl_fn=pl_fn, noise_rng=rng, is_first_p=is_first_p,
+            compute_dtype=compute_dtype)
 
     @partial(jax.jit, static_argnums=(6,), donate_argnums=(4,))
     def step(params, opt_state, x, target, dpb, rng, is_first_p):
@@ -130,7 +180,7 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
 
 
 def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
-                      pl_fn=None, remat=True):
+                      pl_fn=None, remat=True, compute_dtype=None):
     """Jitted whole-chain gradient step for the 'cascade' strategy:
     xs/targets are (p_frames, N, H, W, C); BPTT through the DPB.
 
@@ -151,7 +201,8 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
             dist_lambda=dist_lambda, pl_lambda=pl_lambda,
             loss_rate_keys=stage.loss_rate_keys,
             loss_dist_key=stage.loss_dist_key, pl_fn=pl_fn,
-            noise_rng=sub, is_first_p=is_first_p)
+            noise_rng=sub, is_first_p=is_first_p,
+            compute_dtype=compute_dtype)
 
     if remat:
         one_frame = jax.checkpoint(one_frame, static_argnums=(5,))
