@@ -88,6 +88,9 @@ JOBS = [
     ("train_step_p2",
      [sys.executable, "bench.py", "--train-step", "--p-frames", "2"],
      3600, "train_step_p2.done"),
+    ("train_step_p2_mp",
+     [sys.executable, "bench.py", "--train-step", "--p-frames", "2",
+      "--mp"], 3600, "train_step_p2_mp.done"),
     ("overfit256",
      [sys.executable, "tools/overfit_run.py", "--iters", "150", "--size",
       "256", "--bf16-check", "--out", "artifacts/overfit_r4"],
