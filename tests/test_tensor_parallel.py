@@ -116,3 +116,31 @@ def test_dp_tp_train_step_matches_unsharded():
         params["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
     ).max() > 0, "step did not update params"
     np.testing.assert_allclose(k2, k1, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_intra_forward_matches_unsharded():
+    """shard_params_tp is model-agnostic (shape-based): the I-frame
+    IntraNoAR forward under channel-sharded weights matches unsharded."""
+    from vcm_ts_tpu.models.intra import IntraNoAR
+
+    model = IntraNoAR(N=16, anchor_num=2)
+    x = jnp.asarray(np.kron(np.random.default_rng(0).random((1, 4, 4, 3)),
+                            np.ones((1, 16, 16, 1))), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((1, 1, 1, 1)))
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: v * 0.5 if path[-1].key == "kernel" else v, params)
+    base = model.apply(params, x, jnp.ones((1, 1, 1, 1)))
+
+    mesh = tp.make_tp_mesh(8)
+    p = tp.shard_params_tp(params, mesh)
+    tp.assert_params_sharded(p, mesh)
+
+    @jax.jit
+    def fwd(p, x, q):
+        return model.apply(p, x, q)
+
+    out = fwd(p, tp.replicate(x, mesh), tp.replicate(jnp.ones((1, 1, 1, 1)),
+                                                     mesh))
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               np.asarray(base["x_hat"]),
+                               rtol=1e-3, atol=1e-4)
