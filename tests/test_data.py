@@ -112,3 +112,48 @@ def test_to_unit_float_scales_named_streams_only():
     assert out["inputs"].dtype == np.float32
     assert out["inputs"].max() == 1.0
     assert out["masks"].max() == 255.0  # masks keep 0-255 range
+
+
+def test_prefetch_loader_matches_sync_and_handles_epochs(video_root):
+    from vcm_ts_tpu.data import PrefetchLoader
+
+    cfg = _cfg(video_root)
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+    sync = make_data_loader(cfg, seed=0, is_train=True)
+    assert not isinstance(sync, PrefetchLoader)
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    pre = make_data_loader(cfg, seed=0, is_train=True)
+    assert isinstance(pre, PrefetchLoader)
+    assert len(pre) == len(sync)
+
+    for epoch in (0, 1):
+        sync.set_epoch(epoch)
+        pre.set_epoch(epoch)
+        for (i_s, t_s), (i_p, t_p) in zip(sync, pre):
+            np.testing.assert_array_equal(i_s, i_p)
+            np.testing.assert_array_equal(t_s, t_p)
+
+
+def test_prefetch_loader_early_break_and_errors(video_root):
+    from vcm_ts_tpu.data import PrefetchLoader
+
+    cfg = _cfg(video_root)
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+    loader = make_data_loader(cfg, seed=0, is_train=True)
+    for _ in loader:  # breaking mid-epoch must not hang the worker
+        break
+    assert list(loader)  # and the loader is reusable afterwards
+
+    class Boom:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            raise RuntimeError("boom")
+            yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(Boom()))

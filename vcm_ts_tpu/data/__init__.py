@@ -76,6 +76,73 @@ class DataLoader:
             yield inputs, targets
 
 
+class PrefetchLoader:
+    """Background-thread prefetch around a DataLoader — the TPU-native form
+    of the reference's torch DataLoader(num_workers=N, pin_memory=True)
+    (core/data/__init__.py:27): the next batches' PNG decode + transform
+    run on a worker thread while the current train step executes on
+    device, overlapping host input latency with device compute.
+
+    One iteration thread (batch order is exactly the wrapped loader's, so
+    runs stay reproducible); `depth` bounds the batches assembled ahead.
+    The hot work (zlib inflate, numpy stack) releases the GIL, so a thread
+    suffices — no process pool / serialization tax.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = max(1, int(depth))
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for item in self.loader:
+                    if not _put(item):
+                        return
+                _put(self._SENTINEL)
+            except BaseException as e:  # propagate into the consumer
+                _put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a worker stuck on a full queue
+                q.get_nowait()
+            t.join(timeout=5.0)
+
+
 def make_data_loader(cfg, seed: int, is_train: bool = True,
                      rank: int = 0, world_size: int = 1) -> DataLoader:
     logger = logging.getLogger("CORE")
@@ -96,8 +163,15 @@ def make_data_loader(cfg, seed: int, is_train: bool = True,
     dataset = ConcatDataset(datasets)
 
     batch_size = len(cfg.SOLVER.LAMBDAS)
-    return DataLoader(dataset, batch_size, shuffle=is_train, seed=seed,
-                      rank=rank, world_size=world_size)
+    loader = DataLoader(dataset, batch_size, shuffle=is_train, seed=seed,
+                        rank=rank, world_size=world_size)
+    # DATA_LOADER.NUM_WORKERS (reference training_settings.py:42): > 0
+    # prefetches on a background thread; 0 keeps the loader synchronous.
+    workers = int(getattr(getattr(cfg, "DATA_LOADER", None), "NUM_WORKERS",
+                          0) or 0)
+    if workers > 0:
+        loader = PrefetchLoader(loader, depth=max(2, workers))
+    return loader
 
 
 def make_object_detection_data_loader(cfg):
