@@ -144,3 +144,49 @@ def test_tp_intra_forward_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out["x_hat"]),
                                np.asarray(base["x_hat"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_do_train_on_dp_tp_mesh(tmp_path):
+    """The trainer_multi --tp path end to end (single process): do_train on
+    a 2D (data=2, model=4) mesh shards weights + Adam moments over 'model',
+    completes a stage, and the saved checkpoint reloads cleanly."""
+    from tools.overfit_run import OverfitLoader, make_synthetic_batch
+    from vcm_ts_tpu.parallel.mesh import make_global_dp_tp_mesh
+    from vcm_ts_tpu.train.checkpoint import CheckPointer
+    from vcm_ts_tpu.train.config import default_training_cfg
+    from vcm_ts_tpu.train.train_loop import do_train
+
+    cfg = default_training_cfg()
+    cfg.MODEL.CHANNELS = [16, 16, 24]
+    cfg.SOLVER.LAMBDAS = [85.0, 170.0]
+    cfg.DATASET.SEQUENCE_LENGTH = 2
+    cfg.SOLVER.GRAD_CLIP_NORM = 1.0
+    cfg.SOLVER.STAGES = [
+        ["1", "me", "single", "me", "none", "1e-4", "1", "false"],
+    ]
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.BEST_SAMPLES_NUM = 0
+    cfg.TENSORBOARD.WORST_SAMPLES_NUM = 0
+    cfg.freeze()
+
+    model = DMC(anchor_num=2, channel_mv=16, channel_N=16, channel_M=24)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 16, 24),
+                        1.0, 1.0, method="init_all")
+    loader = OverfitLoader(make_synthetic_batch(2, 2, 64), 1)
+
+    mesh = make_global_dp_tp_mesh(4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    ckpt = CheckPointer(str(tmp_path))
+    out = do_train(cfg, model, params, loader, checkpointer=ckpt, mesh=mesh)
+
+    # weights really trained sharded...
+    tp.assert_params_sharded(out, mesh)
+    # ...and the checkpoint written from them reloads into a plain tree
+    p2, _, extra = ckpt.load(params)
+    assert int(extra["epoch"]) == 1
+    k0 = np.asarray(params["params"]["optic_flow"]["moduleBasic.0"]["conv1"]
+                    ["kernel"])
+    k1 = np.asarray(p2["params"]["optic_flow"]["moduleBasic.0"]["conv1"]
+                    ["kernel"])
+    assert np.abs(k1 - k0).max() > 0, "checkpoint did not capture training"

@@ -21,6 +21,11 @@ def main():
     parser = argparse.ArgumentParser(description="TPU multi-host training")
     parser.add_argument("--config-file", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel width: shard weights + Adam "
+                             "moments over a 'model' mesh axis of this "
+                             "size (must divide the local device count); "
+                             "1 = pure data parallelism")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -95,7 +100,11 @@ def main():
     # all-reduce over ICI/DCN via XLA (the reference's NCCL DDP allreduce,
     # core/engine/train_multi.py:203-268). The seed must be identical on
     # every process — the jitted step's scalar inputs must agree globally.
-    mesh = pm.make_global_mesh()
+    mesh = (pm.make_global_dp_tp_mesh(args.tp) if args.tp > 1
+            else pm.make_global_mesh())
+    if args.tp > 1:
+        logger.info("tensor parallelism: mesh %s (weights sharded over "
+                    "'model')", dict(mesh.shape))
 
     # OD-mAP eval is rank-0-only host work, same gating as trainer.py
     od_loader = detector_fn = None

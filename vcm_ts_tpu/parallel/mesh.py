@@ -62,6 +62,24 @@ def make_global_mesh(axis: str = "data") -> Mesh:
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
+def make_global_dp_tp_mesh(n_model: int, data_axis: str = "data",
+                           model_axis: str = "model") -> Mesh:
+    """Global 2D (data, model) mesh for TP training (trainer_multi --tp).
+
+    The model axis is the minor (fastest-varying) dim and must fit inside
+    one process's devices: jax.devices() orders process-major, so each
+    model group then lands on one host's local ICI neighbours — TP
+    collectives never cross DCN, and every weight shard stays addressable
+    for rank-local checkpoint fetches."""
+    n_local = len(jax.local_devices())
+    if n_local % n_model != 0:
+        raise ValueError(
+            f"--tp {n_model} must divide the local device count {n_local} "
+            f"(the model axis is intra-process by design)")
+    devices = np.asarray(jax.devices())
+    return Mesh(devices.reshape(-1, n_model), (data_axis, model_axis))
+
+
 def global_batch(local, mesh: Mesh, axis: str = "data", batch_dim: int = 0):
     """Assemble per-process local batches into one global jax.Array sharded
     over `axis` (row-concatenated in process order) — the TPU-native
@@ -80,10 +98,22 @@ def global_batch(local, mesh: Mesh, axis: str = "data", batch_dim: int = 0):
 
 
 def host_copy(tree):
-    """Fetch fully-replicated global arrays to host numpy (for rank-0-only
-    eval/checkpointing, the reference's rank-0 .module unwrap)."""
-    return jax.tree_util.tree_map(
-        lambda x: np.asarray(jax.device_get(x)), tree)
+    """Fetch global arrays to host numpy (for rank-0-only eval/
+    checkpointing, the reference's rank-0 .module unwrap).
+
+    Fully-replicated process-spanning arrays (DP params) fetch directly;
+    sharded ones (TP params/moments on a data×model mesh, sharded batches)
+    are assembled via a cross-process allgather first — device_get alone
+    cannot read shards living on another process's devices."""
+    def fetch(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -83,6 +83,22 @@ def shard_params_tp(tree, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(put, tree)
 
 
+def constrain_tp(tree, mesh: Mesh, axis: str = "model"):
+    """with_sharding_constraint every leaf to its TP spec (for use INSIDE a
+    jitted step, on its outputs). Without this, the updated params/moments
+    a train step returns carry whatever layout GSPMD chose for them — e.g.
+    an input-channel split on a head whose output channels don't divide the
+    mesh — and the next step call recompiles for the drifted layout. The
+    constraint pins the canonical TP layout across the whole run."""
+    n = mesh.shape[axis]
+
+    def pin(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, tp_spec(x.shape, n, axis)))
+
+    return jax.tree_util.tree_map(pin, tree)
+
+
 def replicate(tree, mesh: Mesh):
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), tree)

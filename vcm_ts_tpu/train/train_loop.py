@@ -115,9 +115,22 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                 except Exception as e:  # structure drift: warn, keep fresh
                     logger.warning("Could not restore optimizer state "
                                    "(%s); continuing with fresh moments", e)
+            shard_constraint = None
             if mesh is not None:
-                params = pm.replicate(params, mesh)
-                opt_state = pm.replicate(opt_state, mesh)
+                if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                    # 2D data×model mesh (trainer_multi --tp): weights +
+                    # Adam moments channel-sharded over "model" (and
+                    # replicated across "data" by the unnamed dims); the
+                    # batch still shards over "data" below. The step pins
+                    # its updated params/moments back to this layout so
+                    # GSPMD's output-layout choices can't drift it.
+                    from ..parallel import tensor as tpar
+                    params = tpar.shard_params_tp(params, mesh)
+                    opt_state = tpar.shard_params_tp(opt_state, mesh)
+                    shard_constraint = partial(tpar.constrain_tp, mesh=mesh)
+                else:
+                    params = pm.replicate(params, mesh)
+                    opt_state = pm.replicate(opt_state, mesh)
             pl = pl_fn if stage.perceptual_loss else None
             compute_dtype = (jnp.bfloat16 if getattr(
                 cfg.SOLVER, "MIXED_PRECISION", False) else None)
@@ -126,14 +139,16 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                     model, tx, stage, lambdas=lambdas,
                     dist_lambda=cfg.SOLVER.DIST_LAMBDA,
                     pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    shard_constraint=shard_constraint)
             else:
                 step_fn = make_cascade_step(
                     model, tx, stage, lambdas=lambdas,
                     dist_lambda=cfg.SOLVER.DIST_LAMBDA,
                     pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
                     remat=getattr(cfg.SOLVER, "CASCADE_REMAT", True),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    shard_constraint=shard_constraint)
 
         data_loader.set_epoch(epoch)
         for it, (inputs, targets) in enumerate(data_loader):

@@ -145,7 +145,8 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
 
 
 def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
-                           pl_lambda, pl_fn=None, compute_dtype=None):
+                           pl_lambda, pl_fn=None, compute_dtype=None,
+                           shard_constraint=None):
     """Jitted per-frame gradient step for the 'single' strategy.
 
     Returns step(params, opt_state, x, target, dpb, rng, is_first_p) ->
@@ -154,7 +155,12 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
     all-reduce from the mean-loss structure — no explicit collective.
 
     compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 with f32
-    master params/moments (SOLVER.MIXED_PRECISION)."""
+    master params/moments (SOLVER.MIXED_PRECISION).
+
+    shard_constraint (TP training): applied to the updated params and
+    opt_state inside the jit, pinning them back to the canonical tensor-
+    parallel layout so GSPMD's output-layout choices don't drift the
+    sharding (and force a recompile) between steps."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
 
@@ -173,6 +179,9 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
             loss_fn, has_aux=True)(params, x, target, dpb, rng, is_first_p)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if shard_constraint is not None:
+            params = shard_constraint(params)
+            opt_state = shard_constraint(opt_state)
         new_dpb = jax.lax.stop_gradient(new_dpb)
         return params, opt_state, aux, new_dpb
 
@@ -180,7 +189,8 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
 
 
 def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
-                      pl_fn=None, remat=True, compute_dtype=None):
+                      pl_fn=None, remat=True, compute_dtype=None,
+                      shard_constraint=None):
     """Jitted whole-chain gradient step for the 'cascade' strategy:
     xs/targets are (p_frames, N, H, W, C); BPTT through the DPB.
 
@@ -244,6 +254,9 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
             params, xs, targets, dpb0, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if shard_constraint is not None:
+            params = shard_constraint(params)
+            opt_state = shard_constraint(opt_state)
         return params, opt_state, aux, jax.lax.stop_gradient(dpb)
 
     return step
