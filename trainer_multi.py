@@ -26,6 +26,12 @@ def main():
                              "moments over a 'model' mesh axis of this "
                              "size (must divide the local device count); "
                              "1 = pure data parallelism")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="FSDP/ZeRO: shard weights + Adam moments over "
+                             "the same 'data' axis as the batch (GSPMD "
+                             "all-gathers weights per layer; param/opt "
+                             "memory drops ~1/n_devices per chip). "
+                             "Mutually exclusive with --tp")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -100,11 +106,17 @@ def main():
     # all-reduce over ICI/DCN via XLA (the reference's NCCL DDP allreduce,
     # core/engine/train_multi.py:203-268). The seed must be identical on
     # every process — the jitted step's scalar inputs must agree globally.
+    if args.fsdp and args.tp > 1:
+        raise SystemExit("--fsdp and --tp are mutually exclusive (TP "
+                         "already shards the weights, over 'model')")
     mesh = (pm.make_global_dp_tp_mesh(args.tp) if args.tp > 1
             else pm.make_global_mesh())
     if args.tp > 1:
         logger.info("tensor parallelism: mesh %s (weights sharded over "
                     "'model')", dict(mesh.shape))
+    if args.fsdp:
+        logger.info("FSDP: weights + Adam moments sharded over 'data' "
+                    "(%d-way)", dict(mesh.shape)["data"])
 
     # OD-mAP eval is rank-0-only host work, same gating as trainer.py
     od_loader = detector_fn = None
@@ -120,7 +132,8 @@ def main():
              start_epoch=start_epoch, seed=args.seed,
              test_loader=test_loader, world_size=world_size,
              is_main=(rank == 0), mesh=mesh, od_loader=od_loader,
-             detector_fn=detector_fn, resume_opt_blob=resume_opt_blob)
+             detector_fn=detector_fn, resume_opt_blob=resume_opt_blob,
+             fsdp=args.fsdp)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,15 @@ replicated; GSPMD reshards around them. Usage:
     mesh = make_dp_tp_mesh(2, 4)                  # 2D DP x TP training
     p = shard_params_tp(params, mesh)
     x = pm.shard_batch(x, mesh)                   # "data" axis
+
+Every helper is axis-parametric, which also gives FSDP/ZeRO-style
+fully-sharded data parallelism for free (trainer_multi --fsdp): shard
+weights + Adam moments over the SAME "data" axis the batch shards over
+(`shard_params_tp(params, mesh, axis="data")`), and GSPMD inserts the
+per-layer weight all-gathers in forward/backward and keeps gradients +
+optimizer math sharded — parameter/optimizer memory drops ~1/n_data per
+chip while the step stays numerically a data-parallel step (the ZeRO-3
+recipe from the scaling-book: same math, sharded state).
 """
 
 from __future__ import annotations

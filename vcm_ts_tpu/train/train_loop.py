@@ -44,7 +44,7 @@ def do_train(cfg, model, params, data_loader, checkpointer,
              writer: Optional[MetricWriter] = None,
              max_iterations_per_epoch: Optional[int] = None,
              mesh=None, od_loader=None, detector_fn=None,
-             resume_opt_blob: bytes = b""):
+             resume_opt_blob: bytes = b"", fsdp: bool = False):
     """Runs the full stage curriculum; returns final params.
 
     With `mesh` (a jax.sharding.Mesh with a "data" axis, possibly spanning
@@ -117,17 +117,24 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                                    "(%s); continuing with fresh moments", e)
             shard_constraint = None
             if mesh is not None:
+                # Weight-sharding axis: "model" on a 2D data×model mesh
+                # (trainer_multi --tp), or the batch's own "data" axis for
+                # FSDP/ZeRO (trainer_multi --fsdp). Either way the batch
+                # still shards over "data" below, and the step pins its
+                # updated params/moments back to the canonical layout so
+                # GSPMD's output-layout choices can't drift it.
+                w_axis = None
                 if "model" in mesh.axis_names and mesh.shape["model"] > 1:
-                    # 2D data×model mesh (trainer_multi --tp): weights +
-                    # Adam moments channel-sharded over "model" (and
-                    # replicated across "data" by the unnamed dims); the
-                    # batch still shards over "data" below. The step pins
-                    # its updated params/moments back to this layout so
-                    # GSPMD's output-layout choices can't drift it.
+                    w_axis = "model"
+                elif fsdp:
+                    w_axis = "data"
+                if w_axis is not None:
                     from ..parallel import tensor as tpar
-                    params = tpar.shard_params_tp(params, mesh)
-                    opt_state = tpar.shard_params_tp(opt_state, mesh)
-                    shard_constraint = partial(tpar.constrain_tp, mesh=mesh)
+                    params = tpar.shard_params_tp(params, mesh, axis=w_axis)
+                    opt_state = tpar.shard_params_tp(opt_state, mesh,
+                                                     axis=w_axis)
+                    shard_constraint = partial(tpar.constrain_tp, mesh=mesh,
+                                               axis=w_axis)
                 else:
                     params = pm.replicate(params, mesh)
                     opt_state = pm.replicate(opt_state, mesh)
