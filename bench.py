@@ -207,6 +207,17 @@ def main():
         ctx2["dpb"] = make_dpb(ctx2["frames"][0])
         fps2 = bench_batched_write(ctx2)
         result["write_stream_2x_aggregate_fps"] = round(fps2, 3)
+        # both operating points in one artifact: until the bf16 BD gate on
+        # trained weights settles the dtype policy (PERF.md round 3/4), the
+        # suite records the f32 estimation fps alongside the bf16 headline
+        if args.dtype == "bf16":
+            ctx32 = dict(ctx)
+            ctx32["params"] = model.init(
+                jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
+                method="init_all")
+            ctx32["frames"] = [f.astype(jnp.float32) for f in frames]
+            ctx32["dpb"] = make_dpb(ctx32["frames"][0])
+            result["f32_estimation_fps"] = round(bench_estimation(ctx32), 3)
     except Exception as e:  # suite extras must never kill the headline
         result["suite_error"] = f"{type(e).__name__}: {e}"
     _emit(result)

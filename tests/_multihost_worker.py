@@ -1,6 +1,6 @@
-"""One process of the multi-host DP training test (tests/test_multihost.py).
+"""One process of the multi-host training tests (tests/test_multihost.py).
 
-Usage: python _multihost_worker.py <pid> <nproc> <port> <out.npz>
+Usage: python _multihost_worker.py <pid> <nproc> <port> <out.npz> [mode]
 
 With nproc > 1 the process joins a jax.distributed Gloo cluster (2 virtual
 CPU devices per process — the parent sets XLA_FLAGS/JAX_PLATFORMS), builds
@@ -9,6 +9,12 @@ the global mesh and runs do_train(mesh=...) on its 2-row slice of a fixed
 global batch, no mesh. Both dump the trained motion-branch kernel so the
 parent can assert DDP-equivalence (reference semantics:
 core/engine/train_multi.py:203-268).
+
+mode "fsdp" (default "dp") additionally shards the weights + Adam moments
+over the process-spanning "data" axis (trainer_multi --fsdp): the params
+each process holds are then NOT fully addressable, and the final fetch +
+do_train's epoch-end host copy go through the collective
+process_allgather path in parallel/mesh.host_copy.
 """
 
 import os
@@ -18,6 +24,7 @@ import sys
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, out_path = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -69,12 +76,15 @@ def main():
 
     mesh = pm.make_global_mesh() if nproc > 1 else None
     params = do_train(cfg, model, params, Loader(), checkpointer=None,
-                      seed=0, world_size=1, is_main=False, mesh=mesh)
+                      seed=0, world_size=1, is_main=False, mesh=mesh,
+                      fsdp=(mode == "fsdp"))
 
-    kernel = np.asarray(jax.device_get(
+    # host_copy, not device_get: with mode=fsdp the trained params are
+    # sharded across processes (collective allgather fetch, both call it)
+    kernel = np.asarray(pm.host_copy(
         params["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"]))
     np.savez(out_path, kernel=kernel, init_kernel=init_kernel)
-    print(f"worker pid={pid} nproc={nproc} done", flush=True)
+    print(f"worker pid={pid} nproc={nproc} mode={mode} done", flush=True)
 
 
 if __name__ == "__main__":

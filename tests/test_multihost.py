@@ -21,7 +21,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "_multihost_worker.py")
 
 
-def _spawn(pid, nproc, port, out_path, n_virtual_devices):
+def _spawn(pid, nproc, port, out_path, n_virtual_devices, mode="dp"):
     env = dict(os.environ)
     flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
                      if "xla_force_host_platform_device_count" not in f)
@@ -29,7 +29,8 @@ def _spawn(pid, nproc, port, out_path, n_virtual_devices):
                         f"{n_virtual_devices}").strip()
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), out_path],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), out_path,
+         mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
@@ -57,5 +58,37 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # and match the single-process run over the same global batch
     np.testing.assert_allclose(k0, kc, rtol=1e-4, atol=1e-6)
     # training actually moved the params
+    init = np.load(outs[0])["init_kernel"]
+    assert not np.allclose(k0, init)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_matches_single_process(tmp_path):
+    """trainer_multi --fsdp semantics across real process boundaries: the
+    weights + Adam moments shard over the process-spanning 4-way data axis,
+    the epoch-end host copy and the final fetch run the COLLECTIVE
+    process_allgather path (every rank participates — a rank-0-only call
+    would deadlock), and the trained kernel matches a single-process run
+    over the same global batch."""
+    port = 29541
+    outs = [str(tmp_path / f"fsdp_{i}.npz") for i in range(2)]
+    procs = [_spawn(i, 2, port, outs[i], n_virtual_devices=2, mode="fsdp")
+             for i in range(2)]
+    logs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"fsdp worker failed:\n{log[-3000:]}"
+
+    control = str(tmp_path / "fsdp_control.npz")
+    p = _spawn(0, 1, port, control, n_virtual_devices=1)
+    log = p.communicate(timeout=1500)[0].decode()
+    assert p.returncode == 0, f"control failed:\n{log[-3000:]}"
+
+    k0 = np.load(outs[0])["kernel"]
+    k1 = np.load(outs[1])["kernel"]
+    kc = np.load(control)["kernel"]
+
+    # both ranks assembled the same full kernel from their shards
+    np.testing.assert_array_equal(k0, k1)
+    np.testing.assert_allclose(k0, kc, rtol=1e-4, atol=1e-6)
     init = np.load(outs[0])["init_kernel"]
     assert not np.allclose(k0, init)

@@ -188,14 +188,25 @@ def do_train(cfg, model, params, data_loader, checkpointer,
         if tracker is not None and writer is not None:
             tracker.write(writer, global_step)
 
+        # With sharded weights (TP/FSDP) the host fetch is a cross-process
+        # allgather — a COLLECTIVE — so EVERY process must participate, not
+        # just rank 0. This pre-fetch is gated on a condition all ranks
+        # agree on (sharding mode), never on rank-local state like
+        # checkpointer/od_loader being present.
+        host_params = host_opt = None
+        if multiprocess and shard_constraint is not None:
+            host_params = pm.host_copy(params)
+            host_opt = pm.host_copy(opt_state)
         if is_main and (test_loader is not None or od_loader is not None
                         or checkpointer is not None):
             # Rank-0-only work must not touch process-spanning arrays:
             # replicated globals are fetched to host first (the reference's
             # rank-0 .module unwrap, train_multi.py:515-529).
-            host_params = (pm.host_copy(params) if multiprocess else params)
-            host_opt = (pm.host_copy(opt_state) if multiprocess
-                        else opt_state)
+            if host_params is None:
+                host_params = (pm.host_copy(params) if multiprocess
+                               else params)
+                host_opt = (pm.host_copy(opt_state) if multiprocess
+                            else opt_state)
             if test_loader is not None or od_loader is not None:
                 # the OD-mAP branch (reference train.py:308-337) activates
                 # once the curriculum reaches cfg.DATASET.OD_STAGE;
