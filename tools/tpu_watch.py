@@ -9,10 +9,11 @@ artifacts/tpu_watch/<job>.log and a status line to status.jsonl.
 
 Jobs (round 4, VERDICT r3 items 2/3/4/7):
   1. bench suite            -> bench_suite.json       (item 2)
-  2. fast-shuffle estimate  -> fast_shuffle.json      (item 7 measurement)
-  3. train-step p1 + p2     -> train_step_p{1,2}.json (item 2, remat)
-  4. overfit 256 curriculum -> overfit_r4/            (item 3; hours)
-  5. bf16 BD gate on 4's ckpt -> bf16_gate.json       (item 4)
+  2. subpel kernel smoke    -> subpel_smoke.log       (cheap Mosaic gate)
+  3. fast-shuffle estimate  -> fast_shuffle.json      (item 7 measurement)
+  4. train-step p1 + p2     -> train_step_p{1,2}.json (item 2, remat)
+  5. overfit 256 curriculum -> overfit_r4/            (item 3; hours)
+  6. bf16 BD gate on 5's ckpt -> bf16_gate.json       (item 4)
 
 Run detached:  python tools/tpu_watch.py >> artifacts/tpu_watch/watch.log 2>&1
 """
@@ -83,6 +84,10 @@ JOBS = [
      # each, so give the suite headroom (the persistent cache makes warmed
      # re-runs fast)
      [sys.executable, "bench.py"], 7200, "bench_suite.done"),
+    ("subpel_smoke",
+     # cheap Mosaic-lowering + exactness gate at real shapes; catches
+     # block-rule violations in ~2 min instead of a failed 1080p bench
+     [sys.executable, "tools/subpel_smoke.py"], 1800, "subpel_smoke.done"),
     ("fast_shuffle",
      [sys.executable, "bench.py", "--fast-shuffle", "--estimate-only"],
      2400, "fast_shuffle.done"),

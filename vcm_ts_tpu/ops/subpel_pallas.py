@@ -60,23 +60,39 @@ def _relayout_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].reshape(o_ref.shape)
 
 
-def _relayout_impl(x, r: int, block_h: int, interpret: bool):
+def _kmajor_depth_to_space_xla(x, r: int):
+    """Plain-XLA depth-to-space for k-major channel order (fallback for
+    shapes whose per-dy lane slice isn't 128-divisible — Mosaic requires
+    lane-dim blocks divisible by 128 or full)."""
     n, h, w, crr = x.shape
     c = crr // (r * r)
+    x6 = x.reshape(n, h, w, r, r, c)
+    return x6.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * r, w * r, c)
+
+
+def _relayout_impl(x, r: int, block_h: int, interpret: bool):
+    """Grid over dy only: the (dx, c) pair rides the LANE dim as one
+    contiguous r*c-wide slice (k-major order makes it contiguous), so every
+    block is Mosaic-legal when r*c % 128 == 0 (lane blocks must be
+    128-divisible or full; trailing w is always full). The 5D->4D output
+    reshape is a pure row-major reinterpretation — no data movement."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    rc = r * c
+    if rc % 128 != 0:
+        return _kmajor_depth_to_space_xla(x, r)
     bh = _largest_divisor(h, block_h)
-    grid = (n, h // bh, r, r)
-    out6 = pl.pallas_call(
+    out5 = pl.pallas_call(
         _relayout_kernel,
-        grid=grid,
+        grid=(n, h // bh, r),
         in_specs=[pl.BlockSpec(
-            (1, bh, w, c), lambda ni, i, dy, dx: (ni, i, 0, dy * r + dx))],
+            (1, bh, w, rc), lambda ni, i, dy: (ni, i, 0, dy))],
         out_specs=pl.BlockSpec(
-            (1, bh, 1, w, 1, c),
-            lambda ni, i, dy, dx: (ni, i, dy, 0, dx, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, r, w, r, c), x.dtype),
+            (1, bh, 1, w, rc), lambda ni, i, dy: (ni, i, dy, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, r, w, rc), x.dtype),
         interpret=interpret,
     )(x)
-    return out6.reshape(n, h * r, w * r, c)
+    return out5.reshape(n, h * r, w * r, c)
 
 
 def _kmajor_space_to_depth(g, r: int):
@@ -117,44 +133,46 @@ def pixel_shuffle_relayout(x, r: int = 2, block_h: int = 8,
     return _relayout_vjp(x, r, block_h, interpret)
 
 
-def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, r: int):
-    bh = x_ref.shape[1]
-    wdim = x_ref.shape[2]
-    c = w_ref.shape[-1]
+def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref):
+    bh, wdim = x_ref.shape[1], x_ref.shape[2]
     xm = x_ref[0].reshape(bh * wdim, x_ref.shape[3])
-    planes = []
-    for k in range(r * r):
-        y = jnp.dot(xm, w_ref[k], preferred_element_type=jnp.float32)
-        y = y + b_ref[k].astype(jnp.float32)
-        planes.append(y.astype(o_ref.dtype).reshape(bh, wdim, c))
-    # (bh, W, C) planes -> (1, bh, r, W, r, C): dy rides axis 2, dx axis 4
-    rows = [jnp.stack(planes[dy * r:(dy + 1) * r], axis=2)  # (bh, W, r, C)
-            for dy in range(r)]
-    out = jnp.stack(rows, axis=1)  # (bh, r, W, r, C)
-    o_ref[...] = out[None]
+    y = jnp.dot(xm, w_ref[0], preferred_element_type=jnp.float32)
+    y = y + b_ref[0, 0].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _conv1x1_impl(x, w_kmajor, bias_kmajor, r: int, block_h: int,
                   interpret: bool):
+    """Grid over (n, h-block, dy). The per-dx weight planes for a given dy
+    are concatenated along output channels AT TRACE TIME (a weight-sized
+    transpose, folded by XLA), so each grid step is ONE full-width MXU dot
+    whose (bh*W, r*C) result IS the output block — no in-kernel stacking,
+    and every block is full in its trailing two dims (Mosaic-legal for any
+    channel count). The final 5D->4D reshape is a pure row-major
+    reinterpretation."""
     n, h, wdim, cin = x.shape
     rr, cin_w, c = w_kmajor.shape
     assert rr == r * r and cin_w == cin
+    rc = r * c
+    # (rr, Cin, C) -> (r[dy], Cin, r*C): lane dim becomes the (dx, c) pair
+    w2 = w_kmajor.reshape(r, r, cin, c).transpose(0, 2, 1, 3)
+    w2 = w2.reshape(r, cin, rc)
+    b2 = bias_kmajor.reshape(r, 1, rc)
     bh = _largest_divisor(h, block_h)
-    grid = (n, h // bh)
-    out6 = pl.pallas_call(
-        functools.partial(_conv1x1_kernel, r=r),
-        grid=grid,
+    out5 = pl.pallas_call(
+        _conv1x1_kernel,
+        grid=(n, h // bh, r),
         in_specs=[
-            pl.BlockSpec((1, bh, wdim, cin), lambda ni, i: (ni, i, 0, 0)),
-            pl.BlockSpec((rr, cin, c), lambda ni, i: (0, 0, 0)),
-            pl.BlockSpec((rr, c), lambda ni, i: (0, 0)),
+            pl.BlockSpec((1, bh, wdim, cin), lambda ni, i, dy: (ni, i, 0, 0)),
+            pl.BlockSpec((1, cin, rc), lambda ni, i, dy: (dy, 0, 0)),
+            pl.BlockSpec((1, 1, rc), lambda ni, i, dy: (dy, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, bh, r, wdim, r, c), lambda ni, i: (ni, i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, r, wdim, r, c), x.dtype),
+            (1, bh, 1, wdim, rc), lambda ni, i, dy: (ni, i, dy, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, r, wdim, rc), x.dtype),
         interpret=interpret,
-    )(x, w_kmajor, bias_kmajor)
-    return out6.reshape(n, h * r, wdim * r, c)
+    )(x, w2, b2)
+    return out5.reshape(n, h * r, wdim * r, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
