@@ -97,6 +97,25 @@ def main():
             traceback.print_exc()
             failures += 1
 
+        # experimental full-lane variant (any channel count): probe only —
+        # a lowering failure here is information, not a smoke failure
+        try:
+            from vcm_ts_tpu.ops.subpel_pallas import _relayout_impl_fulllane
+            full = jax.jit(lambda v: _relayout_impl_fulllane(
+                v, R, 8, interpret=interp))
+            ya = np.asarray(full(x_k), np.float32)
+            yb = np.asarray(ref(x_c), np.float32)
+            ok = np.array_equal(ya, yb)
+            t_f = timeit(full, x_k)
+            print(f"relayout {shape}->{cout} [full-lane]: pallas "
+                  f"{t_f:.3f} ms | {'exact' if ok else 'MISMATCH'}",
+                  flush=True)
+            if not ok:
+                failures += 1
+        except Exception as e:
+            print(f"relayout {shape}->{cout} [full-lane]: no-lower "
+                  f"({type(e).__name__})", flush=True)
+
     for shape, cout in K1_CASES:
         n, h, w, cin = shape
         try:

@@ -70,12 +70,45 @@ def _kmajor_depth_to_space_xla(x, r: int):
     return x6.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * r, w * r, c)
 
 
+def _relayout_full_kernel(x_ref, o_ref, *, r: int, rc: int):
+    v = x_ref[...]
+    for dy in range(r):
+        o_ref[0, :, dy, :, :] = v[0, :, :, dy * rc:(dy + 1) * rc]
+
+
+def _relayout_impl_fulllane(x, r: int, block_h: int, interpret: bool):
+    """Variant for ANY channel count: grid has no dy axis; each instance
+    loads a full-lane input block (always Mosaic-legal) and writes the r
+    dy-planes with static in-register lane slices. The output block is
+    full in its trailing two dims, so no divisibility constraint — the
+    cost vs the dy-grid variant is the sub-register lane slice when
+    r*c < 128 (a VPU rotate, not extra HBM traffic)."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    rc = r * c
+    bh = _largest_divisor(h, block_h)
+    out5 = pl.pallas_call(
+        functools.partial(_relayout_full_kernel, r=r, rc=rc),
+        grid=(n, h // bh),
+        in_specs=[pl.BlockSpec(
+            (1, bh, w, crr), lambda ni, i: (ni, i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, bh, r, w, rc), lambda ni, i: (ni, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, r, w, rc), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out5.reshape(n, h * r, w * r, c)
+
+
 def _relayout_impl(x, r: int, block_h: int, interpret: bool):
     """Grid over dy only: the (dx, c) pair rides the LANE dim as one
     contiguous r*c-wide slice (k-major order makes it contiguous), so every
     block is Mosaic-legal when r*c % 128 == 0 (lane blocks must be
     128-divisible or full; trailing w is always full). The 5D->4D output
-    reshape is a pure row-major reinterpretation — no data movement."""
+    reshape is a pure row-major reinterpretation — no data movement.
+
+    r*c % 128 != 0 sites fall back to plain XLA until the full-lane
+    variant (_relayout_impl_fulllane) is chip-proven by the smoke tool."""
     n, h, w, crr = x.shape
     c = crr // (r * r)
     rc = r * c
