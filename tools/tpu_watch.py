@@ -76,6 +76,23 @@ def run_job(name, cmd, timeout):
     return "ok" if rc == 0 else "fail"
 
 
+# The queue is data-driven: if tools/tpu_watch_jobs.json exists it is
+# re-read EVERY loop (so jobs can be appended/edited while the watcher
+# runs, without a restart); otherwise the built-in list below is used.
+# JSON schema: [[name, [argv...], timeout_s, marker_file], ...] with
+# "PY" in argv substituted by sys.executable.
+JOBS_FILE = os.path.join(REPO, "tools", "tpu_watch_jobs.json")
+
+
+def load_jobs():
+    if os.path.exists(JOBS_FILE):
+        with open(JOBS_FILE) as f:
+            raw = json.load(f)
+        return [(n, [sys.executable if a == "PY" else a for a in cmd],
+                 t, m) for n, cmd, t, m in raw]
+    return JOBS
+
+
 JOBS = [
     # (name, cmd, timeout_s, done_marker_file)
     ("bench_suite",
@@ -115,7 +132,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     log("watcher up")
     while True:
-        pending = [j for j in JOBS
+        pending = [j for j in load_jobs()
                    if not os.path.exists(os.path.join(OUT, j[3]))]
         if not pending:
             log("all jobs done; exiting")
@@ -126,10 +143,12 @@ def main():
             continue
         log("tunnel UP")
         name, cmd, timeout, marker = pending[0]
-        if name == "bf16_gate" and not os.path.exists(
-                os.path.join(REPO, "artifacts/overfit_r4",
-                             "overfit_final.ckpt")):
-            log("bf16_gate: checkpoint missing (overfit failed?); skipping")
+        # jobs that consume the overfit checkpoint can't run if the
+        # overfit job failed to produce one
+        ckpt_args = [a for a in cmd if a.endswith("overfit_final.ckpt")]
+        if ckpt_args and not os.path.exists(
+                os.path.join(REPO, ckpt_args[0])):
+            log(f"{name}: checkpoint missing (overfit failed?); skipping")
             open(os.path.join(OUT, marker), "w").write("skipped\n")
             continue
         status = run_job(name, cmd, timeout)
