@@ -47,7 +47,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--dtype", choices=["f32", "bf16", "mixed"],
+                    default="bf16",
+                    help="mixed = bf16 params except the reconstruction "
+                         "path, which stays f32 (utils/precision.py; "
+                         "per-checkpoint RD gate: tools/bf16_bd_gate.py)")
     ap.add_argument("--write-stream", action="store_true")
     ap.add_argument("--size", default="1088x1920")
     ap.add_argument("--fast-warp", action="store_true",
@@ -129,11 +133,13 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0), 1.0, 1.0,
                         method="init_all")
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    from vcm_ts_tpu.utils.precision import cast_params, cast_params_mixed
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     if args.dtype == "bf16":
-        params = jax.tree_util.tree_map(
-            lambda v: v.astype(jnp.bfloat16)
-            if v.dtype == jnp.float32 else v, params)
+        params = cast_params(params, jnp.bfloat16)
+    elif args.dtype == "mixed":
+        params = cast_params_mixed(params)
 
     rng = np.random.default_rng(0)
     ns = max(1, args.streams)

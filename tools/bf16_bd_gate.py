@@ -89,14 +89,18 @@ def main():
                         -10.0 * np.log10(np.mean(mses) + 1e-12)))
         return np.asarray(pts)
 
+    from vcm_ts_tpu.utils.precision import cast_params, cast_params_mixed
+
     f32_pts = sweep(params, jnp.float32)
-    bparams = jax.tree_util.tree_map(
-        lambda v: v.astype(jnp.bfloat16)
-        if v.dtype == jnp.float32 else v, params)
-    bf16_pts = sweep(bparams, jnp.bfloat16)
+    bf16_pts = sweep(cast_params(params, jnp.bfloat16), jnp.bfloat16)
+    # third operating point: bf16 with the reconstruction path kept f32
+    # (utils/precision.py) — the candidate fix if wholesale bf16 fails
+    mixed_pts = sweep(cast_params_mixed(params), jnp.bfloat16)
 
     bd = bd_rate(f32_pts[:, 0], f32_pts[:, 1], bf16_pts[:, 0],
                  bf16_pts[:, 1])
+    bd_mixed = bd_rate(f32_pts[:, 0], f32_pts[:, 1], mixed_pts[:, 0],
+                       mixed_pts[:, 1])
     # BD needs a real quality span to integrate over (see
     # bd_rate_vs_reference.py) — flag degenerate curves
     span = min(f32_pts[:, 1].max() - f32_pts[:, 1].min(),
@@ -110,10 +114,15 @@ def main():
         "f32_psnr": [round(float(v), 4) for v in f32_pts[:, 1]],
         "bf16_bpp": [round(float(v), 6) for v in bf16_pts[:, 0]],
         "bf16_psnr": [round(float(v), 4) for v in bf16_pts[:, 1]],
-        "gate": "bf16 stays bench default iff |BD| < 1%",
+        "mixed_bpp": [round(float(v), 6) for v in mixed_pts[:, 0]],
+        "mixed_psnr": [round(float(v), 4) for v in mixed_pts[:, 1]],
+        "bd_rate_mixed_pct": round(float(bd_mixed), 4),
+        "gate": "bf16 stays bench default iff |BD| < 1%; else promote "
+                "mixed if IT is <1%",
         "psnr_span_db": round(float(span), 4),
         "bd_valid": valid,
         "bf16_neutral": bool(valid and abs(bd) < 1.0),
+        "mixed_neutral": bool(valid and abs(bd_mixed) < 1.0),
     }))
 
 
