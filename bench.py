@@ -124,6 +124,7 @@ def main():
         return
 
     h, w = (int(v) for v in args.size.split("x"))
+    size_tag = "1080p" if (h, w) == (1088, 1920) else f"{h}x{w}"
 
     if args.fast_shuffle:
         from vcm_ts_tpu.ops import layers as _layers
@@ -159,21 +160,21 @@ def main():
         assert ns == 1, "pipelined GOP modes are single-stream"
     if args.pipelined_decode:
         fps = bench_pipelined_decode(ctx)
-        _emit({"metric": f"1080p P-frame pipelined DECODE fps/chip "
+        _emit({"metric": f"{size_tag} P-frame pipelined DECODE fps/chip "
                          f"({args.dtype}, real bitstream)",
                "value": round(fps, 3), "unit": "fps",
                "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
         return
     if args.pipelined_encode:
         fps = bench_pipelined_encode(ctx)
-        _emit({"metric": f"1080p P-frame pipelined ENCODE fps/chip "
+        _emit({"metric": f"{size_tag} P-frame pipelined ENCODE fps/chip "
                          f"({args.dtype}, real bitstream)",
                "value": round(fps, 3), "unit": "fps",
                "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
         return
     if args.write_stream and ns > 1:
         fps = bench_batched_write(ctx)
-        _emit({"metric": f"1080p P-frame enc+dec AGGREGATE fps/chip "
+        _emit({"metric": f"{size_tag} P-frame enc+dec AGGREGATE fps/chip "
                          f"({args.dtype}, real bitstream, {ns} streams "
                          f"batched)",
                "value": round(fps, 3), "unit": "fps",
@@ -181,7 +182,7 @@ def main():
         return
     if args.write_stream:
         fps = bench_seq_write(ctx)
-        _emit({"metric": f"1080p P-frame enc+dec fps/chip ({args.dtype}, "
+        _emit({"metric": f"{size_tag} P-frame enc+dec fps/chip ({args.dtype}, "
                          f"real bitstream)",
                "value": round(fps, 3), "unit": "fps",
                "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
@@ -190,7 +191,7 @@ def main():
     # --- estimation mode (headline) ---
     est_fps = bench_estimation(ctx)
     result = {
-        "metric": f"1080p P-frame enc+dec fps/chip "
+        "metric": f"{size_tag} P-frame enc+dec fps/chip "
                   f"({args.dtype}"
                   f"{', fast-warp' if args.fast_warp else ''}"
                   f"{', fast-shuffle' if args.fast_shuffle else ''}"
