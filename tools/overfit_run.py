@@ -91,6 +91,10 @@ def run(args):
     # estimates are astronomically large and their gradients blow up the
     # recurrent DPB chain
     cfg.SOLVER.GRAD_CLIP_NORM = 1.0
+    # --mp: the bf16-compute/f32-master regime (SOLVER.MIXED_PRECISION);
+    # run alongside the f32 control to prove the regime CONVERGES, not
+    # just that one step computes (PERF.md round 4, mixed-precision)
+    cfg.SOLVER.MIXED_PRECISION = bool(args.mp)
     # the reference curriculum shape (training_settings.py:55-66): dist-only
     # before each rate stage, single-frame before cascade
     cascade_lr = str(args.lr / 2)  # reference drops lr for cascade stages
@@ -249,6 +253,9 @@ def main():
     ap.add_argument("--out", default="artifacts/overfit")
     ap.add_argument("--bf16-check", action="store_true",
                     help="re-validate bf16 agreement on the trained weights")
+    ap.add_argument("--mp", action="store_true",
+                    help="train under SOLVER.MIXED_PRECISION (bf16 compute, "
+                         "f32 master params/moments)")
     args = ap.parse_args()
     raise SystemExit(run(args))
 
