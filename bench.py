@@ -83,6 +83,10 @@ def main():
                     help="training throughput: cascade RD step (f32, "
                          "256x256 crops, batch=4 rate anchors, BPTT over "
                          "--p-frames, CASCADE_REMAT on)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="with --train-step: SOLVER.GRAD_ACCUM_STEPS (2 = "
+                         "what fits the f32 p_frames=2 cascade on one v5e "
+                         "chip)")
     ap.add_argument("--mp", action="store_true",
                     help="with --train-step: SOLVER.MIXED_PRECISION mode "
                          "(bf16 compute, f32 master params/moments)")
@@ -355,7 +359,8 @@ def bench_train_step(args) -> dict:
                              lambdas=[85.0, 170.0, 380.0, 840.0],
                              dist_lambda=1.0, pl_lambda=0.0,
                              compute_dtype=(jnp.bfloat16 if args.mp
-                                            else None))
+                                            else None),
+                             accum_steps=args.grad_accum)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.random(
         (args.p_frames, 4, 256, 256, 3)), jnp.float32)
@@ -380,7 +385,9 @@ def bench_train_step(args) -> dict:
         "metric": f"cascade train step frames/s "
                   f"({'bf16-mp' if args.mp else 'f32'}, 256x256, "
                   f"batch=4 anchors, p_frames={args.p_frames}, BPTT, "
-                  f"remat)",
+                  f"remat"
+                  + (f", grad-accum={args.grad_accum}"
+                     if args.grad_accum > 1 else "") + ")",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": 0.0,

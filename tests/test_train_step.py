@@ -301,3 +301,101 @@ def test_mixed_precision_step_trains_with_f32_masters():
     np.testing.assert_allclose(losses_mp[0], losses_f32[0], rtol=5e-2)
     # and training still converges
     assert losses_mp[-1] < losses_mp[0], losses_mp
+
+
+# ------------------------------------------------------- grad accumulation
+def test_frame_loss_anchor_slice_is_exact():
+    """GRAD_ACCUM_STEPS correctness at the frame level, deterministically
+    (training=False so no quantization noise): the mean of the per-group
+    losses equals the full-batch loss, and the mean of the per-group
+    gradients equals the full-batch gradient — including the q-scale rows,
+    whose slice VJPs scatter into disjoint anchor rows."""
+    model, params = tiny_model_and_params()
+    seqs = _sequences(t=2, seed=7)
+    x = jnp.asarray(seqs[:, 1])
+    dpb = make_dpb(jnp.asarray(seqs[:, 0]), 16, 24)
+    lam = jnp.asarray([85.0, 170.0])
+    rng = jax.random.PRNGKey(3)
+    kw = dict(dist_lambda=1.0, pl_lambda=0.0,
+              loss_rate_keys=("bpp_mv_y", "bpp_mv_z"),
+              loss_dist_key="me_mse", pl_fn=None, noise_rng=rng,
+              is_first_p=True, training=False)
+
+    def full(p):
+        return ts.frame_loss(p, model, x, x, dpb, lambdas=lam, **kw)[0]
+
+    def grouped(p):
+        losses = []
+        for g in range(2):
+            dpb_g = jax.tree_util.tree_map(lambda v: v[g:g + 1], dpb)
+            loss_g, _ = ts.frame_loss(
+                p, model, x[g:g + 1], x[g:g + 1], dpb_g, lambdas=lam,
+                anchor_start=jnp.asarray(g), anchor_count=1, **kw)
+            losses.append(loss_g)
+        return (losses[0] + losses[1]) / 2
+
+    lf, gf = jax.value_and_grad(full)(params)
+    lg, gg = jax.value_and_grad(grouped)(params)
+    np.testing.assert_allclose(float(lf), float(lg), rtol=1e-6)
+    # f32 tolerance is reassociation, not math: a batch-2 conv backward is
+    # one GEMM whose K dim spans the batch, vs two batch-1 GEMMs summed.
+    # The same comparison in f64 agrees to 9.3e-11 max relative across the
+    # whole tree (measured), so the accumulation identity is exact.
+    # (pure rtol is meaningless on near-cancelling elements, so the atol
+    # scales with each leaf's gradient magnitude — loose enough for CPU
+    # oneDNN's orderings, tight enough that a wrong scale factor or anchor
+    # row — O(1) relative to the leaf scale — can never pass)
+    def _close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(a))), 1e-8)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3 * scale)
+
+    jax.tree_util.tree_map(_close, gf, gg)
+    # the sliced q-scale rows actually received gradient
+    assert np.any(np.asarray(gg["params"]["mv_y_q_scale"]) != 0)
+
+
+def test_cascade_grad_accum_step_runs_with_replica_tiling():
+    """accum_steps=2 plumbing through the jitted cascade step: grouping /
+    ungrouping of a k=2-replica batch (4 rows, 2 anchors), per-anchor aux
+    ordering, finite losses, a real parameter update, and freezing held.
+    (Exact equality with accum=1 is impossible: quantization noise draws
+    are batch-shaped — the math itself is pinned exactly by
+    test_frame_loss_anchor_slice_is_exact.)"""
+    model, params = tiny_model_and_params()
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 0.5 if path[-1].key == "kernel" else x, params)
+    stage = _stage(forward_method="cascade", p_frames=2,
+                   trainable_mode="inter_dist", loss_dist_key="me_mse",
+                   loss_rate_keys=())
+    seqs = np.concatenate([_sequences(t=3, seed=8)] * 2, axis=0)  # k=2
+    xs = jnp.stack([jnp.asarray(seqs[:, 1 + k]) for k in range(2)])
+    dpb0 = make_dpb(jnp.asarray(seqs[:, 0]), 16, 24)
+    tx, opt_state = make_stage_optimizer(params, stage.trainable_mode, 1e-4)
+    step = ts.make_cascade_step(model, tx, stage, lambdas=[85., 170.],
+                                dist_lambda=1.0, pl_lambda=0.0,
+                                accum_steps=2)
+    frozen_before = np.asarray(
+        params["params"]["contextual_decoder"]["up1"]["0"]["kernel"])
+    flow_before = np.asarray(
+        params["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+    p, s, aux, dpb = step(params, opt_state, xs, xs, dpb0,
+                          jax.random.PRNGKey(11))
+    assert aux.loss.shape == (2,) and np.all(np.isfinite(np.asarray(aux.loss)))
+    # the ungrouped DPB restores the full (k * anchors) batch shape
+    assert dpb["ref_frame"].shape[0] == 4
+    assert np.all(np.isfinite(np.asarray(dpb["ref_frame"])))
+    assert np.any(np.asarray(
+        p["params"]["optic_flow"]["moduleBasic.0"]["conv1"]["kernel"])
+        != flow_before)
+    np.testing.assert_array_equal(
+        np.asarray(p["params"]["contextual_decoder"]["up1"]["0"]["kernel"]),
+        frozen_before)
+
+
+def test_cascade_grad_accum_must_divide_anchors():
+    model, _ = tiny_model_and_params()
+    stage = _stage(forward_method="cascade", p_frames=2)
+    with pytest.raises(ValueError):
+        ts.make_cascade_step(model, None, stage, lambdas=[85., 170., 380.],
+                             dist_lambda=1.0, pl_lambda=0.0, accum_steps=2)

@@ -95,6 +95,9 @@ def run(args):
     # run alongside the f32 control to prove the regime CONVERGES, not
     # just that one step computes (PERF.md round 4, mixed-precision)
     cfg.SOLVER.MIXED_PRECISION = bool(args.mp)
+    # cascade-stage memory: remat + G=2 anchor-microbatch accumulation is
+    # what fits the 4-anchor 256x256 f32 cascade on one v5e chip
+    cfg.SOLVER.GRAD_ACCUM_STEPS = int(args.grad_accum)
     # the reference curriculum shape (training_settings.py:55-66): dist-only
     # before each rate stage, single-frame before cascade
     cascade_lr = str(args.lr / 2)  # reference drops lr for cascade stages
@@ -256,6 +259,9 @@ def main():
     ap.add_argument("--mp", action="store_true",
                     help="train under SOLVER.MIXED_PRECISION (bf16 compute, "
                          "f32 master params/moments)")
+    ap.add_argument("--grad-accum", type=int, default=2,
+                    help="SOLVER.GRAD_ACCUM_STEPS for the cascade stage "
+                         "(2 = fits one v5e chip at 256x256 f32)")
     args = ap.parse_args()
     raise SystemExit(run(args))
 

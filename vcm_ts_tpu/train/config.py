@@ -72,6 +72,13 @@ def default_training_cfg() -> CfgNode:
     # the RD impact on trained weights is gated by tools/bf16_bd_gate.py
     # before this becomes the recommended setting.
     cfg.SOLVER.MIXED_PRECISION = False
+    # gradient accumulation over G contiguous rate-anchor microbatches
+    # inside the cascade step (must divide len(LAMBDAS)). Activation
+    # memory scales ~1/G for one extra param-tree accumulator; the update
+    # is the exact full-batch mean gradient. G=2 is what fits the
+    # 4-anchor 256x256 f32 cascade stage on one v5e chip (remat alone
+    # leaves it 225 MB over HBM).
+    cfg.SOLVER.GRAD_ACCUM_STEPS = 1
     # 8-field stage tuples:
     # [p_frames, modules(me|rec|all), method(single|cascade), loss_dist(me|rec),
     #  loss_rate(none|me|rec|all), lr, epochs, perceptual_loss(true|false)]

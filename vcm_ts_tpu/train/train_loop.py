@@ -155,7 +155,9 @@ def do_train(cfg, model, params, data_loader, checkpointer,
                     pl_lambda=cfg.SOLVER.PL_LAMBDA, pl_fn=pl,
                     remat=getattr(cfg.SOLVER, "CASCADE_REMAT", True),
                     compute_dtype=compute_dtype,
-                    shard_constraint=shard_constraint)
+                    shard_constraint=shard_constraint,
+                    accum_steps=int(getattr(cfg.SOLVER,
+                                            "GRAD_ACCUM_STEPS", 1)))
 
         data_loader.set_epoch(epoch)
         for it, (inputs, targets) in enumerate(data_loader):

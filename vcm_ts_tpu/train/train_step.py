@@ -79,7 +79,8 @@ def _cast_tree(tree, dtype):
 def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
                pl_lambda, loss_rate_keys: Sequence[str], loss_dist_key: str,
                pl_fn: Optional[Callable], noise_rng, is_first_p: bool,
-               training: bool = True, compute_dtype=None):
+               training: bool = True, compute_dtype=None,
+               anchor_start=None, anchor_count: Optional[int] = None):
     """RD (+ optional perceptual) loss for one P-frame
     (dcvc_hem.py:199-216).
 
@@ -90,13 +91,27 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
     compute_dtype (SOLVER.MIXED_PRECISION): run the model forward/backward
     in bf16 (weights cast inside the loss, so gradients and the optimizer
     stay f32 master-precision); the model outputs are upcast before the
-    loss/metric math so rate+distortion accumulate in f32."""
+    loss/metric math so rate+distortion accumulate in f32.
+
+    anchor_start/anchor_count (SOLVER.GRAD_ACCUM_STEPS): the batch rows are
+    a contiguous microbatch of `anchor_count` rate anchors starting at
+    anchor row `anchor_start` (a traced scalar — the accumulation scan's
+    loop index). q_scale rows and lambdas are sliced to match; the slice's
+    VJP scatters the q-scale gradients back into their anchor rows, so the
+    accumulated gradient equals the full-batch gradient."""
     if compute_dtype is not None:
         params = cast_for_compute(params, compute_dtype)
         x = x.astype(compute_dtype)
         dpb = _cast_tree(dpb, compute_dtype)
     mv_q = params["params"]["mv_y_q_scale"]
     y_q = params["params"]["y_q_scale"]
+    if anchor_start is not None:
+        mv_q = jax.lax.dynamic_slice_in_dim(mv_q, anchor_start,
+                                            anchor_count, 0)
+        y_q = jax.lax.dynamic_slice_in_dim(y_q, anchor_start,
+                                           anchor_count, 0)
+        lambdas = jax.lax.dynamic_slice_in_dim(lambdas, anchor_start,
+                                               anchor_count, 0)
     reps = x.shape[0] // mv_q.shape[0]
     if reps > 1:
         mv_q = jnp.tile(mv_q, (reps, 1, 1, 1))
@@ -131,7 +146,8 @@ def frame_loss(params, model, x, target, dpb, *, lambdas, dist_lambda,
     # the cross-device all-reduce, so aux comes out replicated on every
     # process — the TPU-native form of the reference's 6x
     # dist.gather_object metric reduction (train_multi.py:456-494).
-    n_anchors = params["params"]["mv_y_q_scale"].shape[0]
+    n_anchors = (anchor_count if anchor_count is not None
+                 else params["params"]["mv_y_q_scale"].shape[0])
 
     def _per_anchor(v):
         return v.reshape(-1, n_anchors).mean(0)
@@ -190,7 +206,7 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
 
 def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
                       pl_fn=None, remat=True, compute_dtype=None,
-                      shard_constraint=None):
+                      shard_constraint=None, accum_steps: int = 1):
     """Jitted whole-chain gradient step for the 'cascade' strategy:
     xs/targets are (p_frames, N, H, W, C); BPTT through the DPB.
 
@@ -200,24 +216,44 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
     stays flat in p_frames (the standard XLA remat trade: ~1/3 more
     backward FLOPs for O(chain) -> O(1) activation memory). Measured
     necessary: the 4-anchor 256x256 cascade stage OOMs one v5e chip's HBM
-    without it. Gradients are numerically identical (same ops, replayed)."""
+    without it. Gradients are numerically identical (same ops, replayed).
+
+    accum_steps (cfg.SOLVER.GRAD_ACCUM_STEPS): gradient accumulation over
+    G contiguous rate-anchor microbatches inside the one jitted step — a
+    lax.scan computes each group's whole-chain gradient on anchor_num/G
+    batch rows and sums them; one optimizer update applies the mean.
+    Activation memory scales ~1/G while the update stays mathematically
+    the full-batch gradient (equal group sizes: mean of group means ==
+    global mean; q-scale slice VJPs scatter into disjoint anchor rows).
+    Measured necessary at G=2: remat alone leaves the 4-anchor 256x256
+    f32 cascade stage 225 MB over one v5e chip's 15.75 GB HBM (padding
+    expansion on the 67-channel motion-compensation temps). Quantization
+    noise is drawn per group (shape-dependent), so trajectories match
+    accum=1 statistically, not bit-for-bit."""
 
     lambdas = jnp.asarray(lambdas, jnp.float32)
     p_frames = stage.p_frames
+    n_anchors = lambdas.shape[0]
+    if accum_steps > 1 and n_anchors % accum_steps:
+        raise ValueError(
+            f"GRAD_ACCUM_STEPS={accum_steps} must divide the "
+            f"{n_anchors} rate anchors")
+    mb = n_anchors // accum_steps
 
-    def one_frame(params, x, target, dpb, sub, is_first_p):
+    def one_frame(params, x, target, dpb, sub, anchor_start, is_first_p):
         return frame_loss(
             params, model, x, target, dpb, lambdas=lambdas,
             dist_lambda=dist_lambda, pl_lambda=pl_lambda,
             loss_rate_keys=stage.loss_rate_keys,
             loss_dist_key=stage.loss_dist_key, pl_fn=pl_fn,
             noise_rng=sub, is_first_p=is_first_p,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, anchor_start=anchor_start,
+            anchor_count=mb if anchor_start is not None else None)
 
     if remat:
-        one_frame = jax.checkpoint(one_frame, static_argnums=(5,))
+        one_frame = jax.checkpoint(one_frame, static_argnums=(6,))
 
-    def chain_loss(params, xs, targets, dpb, rng):
+    def chain_loss(params, xs, targets, dpb, rng, anchor_start=None):
         # same key schedule as a sequential split-per-frame unroll
         subs = []
         for _ in range(p_frames):
@@ -233,12 +269,12 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
         # is_first_p passed positionally: jax.checkpoint's static_argnums
         # only covers positional arguments
         _, (aux0, dpb) = one_frame(params, xs[0], targets[0], dpb, subs[0],
-                                   True)
+                                   anchor_start, True)
         if p_frames > 1:
             def body(carry, inp):
                 x, target, sub = inp
                 _, (aux, new_carry) = one_frame(params, x, target, carry,
-                                                sub, False)
+                                                sub, anchor_start, False)
                 return new_carry, aux
             dpb, rest = jax.lax.scan(
                 body, dpb, (xs[1:], targets[1:], jnp.stack(subs[1:])))
@@ -248,10 +284,64 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
             mean_aux = aux0
         return jnp.mean(mean_aux.loss), (mean_aux, dpb)
 
+    if accum_steps == 1:
+        @partial(jax.jit, donate_argnums=(4,))
+        def step(params, opt_state, xs, targets, dpb0, rng):
+            (_, (aux, dpb)), grads = jax.value_and_grad(
+                chain_loss, has_aux=True)(params, xs, targets, dpb0, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if shard_constraint is not None:
+                params = shard_constraint(params)
+                opt_state = shard_constraint(opt_state)
+            return params, opt_state, aux, jax.lax.stop_gradient(dpb)
+
+        return step
+
+    G = accum_steps
+
     @partial(jax.jit, donate_argnums=(4,))
     def step(params, opt_state, xs, targets, dpb0, rng):
-        (_, (aux, dpb)), grads = jax.value_and_grad(chain_loss, has_aux=True)(
-            params, xs, targets, dpb0, rng)
+        n = xs.shape[1]
+        k = n // n_anchors  # replica tiling (k-process-equivalent batches)
+
+        def group(v, axis):
+            # rows are anchor-cycled (row i = replica i // A, anchor i % A);
+            # split the anchor dim into G contiguous microbatches and lead
+            # with the group axis for the scan
+            shp = v.shape
+            v = v.reshape(shp[:axis] + (k, G, mb) + shp[axis + 1:])
+            v = jnp.moveaxis(v, axis + 1, 0)
+            return v.reshape((G,) + shp[:axis] + (k * mb,) + shp[axis + 1:])
+
+        xs_g = group(xs, 1)
+        ts_g = group(targets, 1)
+        dpb_g = jax.tree_util.tree_map(lambda v: group(v, 0), dpb0)
+        subs = jax.random.split(rng, G)
+        starts = jnp.arange(G) * mb
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(acc, inp):
+            xs_i, ts_i, dpb_i, sub_i, start_i = inp
+            (_, (aux, dpb)), g = jax.value_and_grad(
+                chain_loss, has_aux=True)(params, xs_i, ts_i, dpb_i, sub_i,
+                                          start_i)
+            return jax.tree_util.tree_map(jnp.add, acc, g), (aux, dpb)
+
+        acc, (auxs, dpbs) = jax.lax.scan(
+            body, zero, (xs_g, ts_g, dpb_g, subs, starts))
+        grads = jax.tree_util.tree_map(lambda v: v / G, acc)
+        # per-group FrameAux fields are (mb,); groups are contiguous anchor
+        # blocks, so (G, mb) flattens back into anchor order
+        aux = jax.tree_util.tree_map(
+            lambda v: v.reshape((n_anchors,) + v.shape[2:]), auxs)
+
+        def ungroup(v):
+            v = v.reshape((G, k, mb) + v.shape[2:])
+            v = jnp.moveaxis(v, 0, 1)
+            return v.reshape((n,) + v.shape[3:])
+
+        dpb = jax.tree_util.tree_map(ungroup, dpbs)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if shard_constraint is not None:
