@@ -1,11 +1,14 @@
 """Inference dtype policies.
 
-Round-3 measurement (PERF.md): wholesale bf16 params are RD-fine on rate
-(+0.46% analytic bpp) but on TRAINED weights the reconstruction disagrees
-with f32 at only 19 dB — visible-artifact territory — while f32 costs
-~26% throughput (1.814 vs 2.456 fps at 1080p). The damage is
-reconstruction-path accumulation, not entropy math: symbols/streams stay
-self-consistent in either dtype by construction (the engines run the
+Round-3 measured 19 dB f32-vs-bf16 recon agreement on a HALF-trained
+(pre-cascade) checkpoint; round 4's full 6-stage curriculum checkpoint
+measures **50.7 dB agreement, +0.22% bpp, BD-rate(bf16) = -0.035%**
+(PERF.md round 4) — on properly trained weights bf16 is transparent, and
+it stays the bench headline dtype. The per-checkpoint gate
+(tools/bf16_bd_gate.py) remains the policy mechanism: agreement is a
+property of the checkpoint, so gate each production checkpoint rather
+than trusting either measurement generalizes. Streams are
+self-consistent in every dtype by construction (the engines run the
 decoder's own stage programs inside the encoder).
 
 `cast_params_mixed` implements the middle operating point: parameters of
