@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--damp", type=float, default=0.5,
                     help="kernel damping for the random-init twins (no "
                          "--ckpt); 0.5 matches the cross-decode tests")
+    ap.add_argument("--content", choices=["kron", "overfit"],
+                    default="kron",
+                    help="eval clip: 'kron' block-shift pattern, or "
+                         "'overfit' = the synthetic clip overfit_run "
+                         "trains on — gives a trained checkpoint a "
+                         "conditioned (non-flat) RD curve, so the BD "
+                         "integral is valid")
     args = ap.parse_args()
 
     from native_interop.build_ref_modules import load
@@ -100,12 +107,19 @@ def main():
     tmodel.update(force=True)
 
     s = args.size
-    blk = s // 8
-    rng = np.random.default_rng(0)
-    base = rng.random((1, 8, 8, 3)).astype(np.float32)
-    kron = np.ones((1, blk, blk, 1))
-    frames = [np.kron(np.roll(base, t, axis=2), kron).astype(np.float32)
-              for t in range(args.frames + 1)]
+    if args.content == "overfit":
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from overfit_run import make_synthetic_batch
+        seq = make_synthetic_batch(1, args.frames + 1, s, seed=0)
+        frames = [seq[:, t] for t in range(args.frames + 1)]
+    else:
+        blk = s // 8
+        rng = np.random.default_rng(0)
+        base = rng.random((1, 8, 8, 3)).astype(np.float32)
+        kron = np.ones((1, blk, blk, 1))
+        frames = [np.kron(np.roll(base, t, axis=2),
+                          kron).astype(np.float32)
+                  for t in range(args.frames + 1)]
     ref, xs = frames[0], frames[1:]
     n_pix = s * s * len(xs)
 
@@ -161,7 +175,8 @@ def main():
     valid = bool(span >= 0.5)
     print(json.dumps({
         "metric": "BD-rate ours-vs-reference, shared weights "
-                  f"({weights}, {args.frames} P-frame(s), {s}x{s})",
+                  f"({weights}, {args.frames} P-frame(s), {s}x{s}, "
+                  f"{args.content} content)",
         "bd_rate_pct": round(float(bd), 4),
         "anchors": anchors,
         "ours_bpp": [round(float(v), 6) for v in ours_pts[:, 0]],
