@@ -94,10 +94,12 @@ def run(args):
     # --mp: the bf16-compute/f32-master regime (SOLVER.MIXED_PRECISION);
     # run alongside the f32 control to prove the regime CONVERGES, not
     # just that one step computes (PERF.md round 4, mixed-precision)
-    cfg.SOLVER.MIXED_PRECISION = bool(args.mp)
+    # getattr: callers (tests) may pass a bare args object without the
+    # newer flags
+    cfg.SOLVER.MIXED_PRECISION = bool(getattr(args, "mp", False))
     # cascade-stage memory: remat + G=2 anchor-microbatch accumulation is
     # what fits the 4-anchor 256x256 f32 cascade on one v5e chip
-    cfg.SOLVER.GRAD_ACCUM_STEPS = int(args.grad_accum)
+    cfg.SOLVER.GRAD_ACCUM_STEPS = int(getattr(args, "grad_accum", 2))
     # the reference curriculum shape (training_settings.py:55-66): dist-only
     # before each rate stage, single-frame before cascade
     cascade_lr = str(args.lr / 2)  # reference drops lr for cascade stages
