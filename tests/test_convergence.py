@@ -53,6 +53,43 @@ def test_overfit_curriculum_mechanics(tmp_path):
     assert s3[-1] < s3[0] * 0.5, (s3[0], s3[-1])
 
 
+def test_p4_curriculum_wiring(tmp_path):
+    """--p4 appends the reference curriculum's final depth: a p_frames=4
+    cascade stage on 5-frame sequences (reference training_settings.py
+    stages 9-10), extending max_epoch so a completed 6-stage checkpoint
+    warm-starts directly into the new stage."""
+    from tools.overfit_run import build_cfg
+    from vcm_ts_tpu.train.stages import calc_max_epoch, get_stage_params
+
+    class A:
+        iters = 8
+        epochs = 1
+        size = 64
+        lr = 1e-4
+        seed = 0
+        tiny = True
+        out = ""
+        bf16_check = False
+
+    class A4(A):
+        p4 = True
+
+    A.out = A4.out = str(tmp_path)
+    base = build_cfg(A(), [16, 16, 24], [85.0, 170.0])
+    p4 = build_cfg(A4(), [16, 16, 24], [85.0, 170.0])
+
+    assert len(p4.SOLVER.STAGES) == len(base.SOLVER.STAGES) + 1
+    assert p4.SOLVER.STAGES[:-1] == base.SOLVER.STAGES
+    last = get_stage_params(p4, calc_max_epoch(p4.SOLVER.STAGES) - 1)
+    assert last.p_frames == 4 and last.forward_method == "cascade"
+    assert base.DATASET.SEQUENCE_LENGTH == 3
+    assert p4.DATASET.SEQUENCE_LENGTH == 5  # 1 I-frame + 4 P-frames
+    # warm-start contract: the 6-stage run's final epoch stamp equals the
+    # 7-stage schedule's p4-stage start epoch
+    assert calc_max_epoch(p4.SOLVER.STAGES) == \
+        calc_max_epoch(base.SOLVER.STAGES) + 1
+
+
 def _tiny_train_setup(n_epochs, out_dir):
     import jax
     import jax.numpy as jnp

@@ -66,26 +66,15 @@ class OverfitLoader:
             yield self.batch, self.batch
 
 
-def run(args):
-    import jax
-    import jax.numpy as jnp
-
-    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+def build_cfg(args, channels, lambdas):
+    """The overfit run's training config (factored out for wiring tests)."""
     from vcm_ts_tpu.train.config import default_training_cfg
-    from vcm_ts_tpu.train.train_loop import do_train
-
-    if args.tiny:
-        channels, size, lambdas = [16, 16, 24], 64, [85.0, 170.0]
-    else:
-        channels, size, lambdas = [64, 64, 96], args.size, \
-            [85.0, 170.0, 380.0, 840.0]
 
     lr = str(args.lr)
     e = str(args.epochs)
     cfg = default_training_cfg()
     cfg.MODEL.CHANNELS = channels
     cfg.SOLVER.LAMBDAS = lambdas
-    cfg.DATASET.SEQUENCE_LENGTH = 3
     # from-scratch training (the reference never does this — it fine-tunes
     # pretrained DCVC weights) needs gradient clipping: random-init rate
     # estimates are astronomically large and their gradients blow up the
@@ -111,10 +100,37 @@ def run(args):
         ["1", "all", "single", "rec", "all", lr, e, "false"],
         ["2", "all", "cascade", "rec", "all", cascade_lr, e, "false"],
     ]
+    seq_len = 3
+    if getattr(args, "p4", False):
+        # the reference curriculum's real final depth: p_frames=4 cascade
+        # (configs/cfg.yaml.template stages 9-10 ≙ reference
+        # training_settings.py:55-66). Needs a 5-frame sequence.
+        cfg.SOLVER.STAGES.append(
+            ["4", "all", "cascade", "rec", "all", cascade_lr, e, "false"])
+        seq_len = 5
+    cfg.DATASET.SEQUENCE_LENGTH = seq_len
     cfg.OUTPUT_DIR = args.out
     cfg.TENSORBOARD.BEST_SAMPLES_NUM = 0
     cfg.TENSORBOARD.WORST_SAMPLES_NUM = 0
     cfg.freeze()
+    return cfg
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.models.dmc import DMC, make_dpb
+    from vcm_ts_tpu.train.train_loop import do_train
+
+    if args.tiny:
+        channels, size, lambdas = [16, 16, 24], 64, [85.0, 170.0]
+    else:
+        channels, size, lambdas = [64, 64, 96], args.size, \
+            [85.0, 170.0, 380.0, 840.0]
+
+    cfg = build_cfg(args, channels, lambdas)
+    seq_len = cfg.DATASET.SEQUENCE_LENGTH
     os.makedirs(args.out, exist_ok=True)
 
     model = DMC(anchor_num=len(lambdas), channel_mv=channels[0],
@@ -124,7 +140,8 @@ def run(args):
                         make_dpb(x0, channels[1], channels[2]), 1.0, 1.0,
                         method="init_all")
 
-    batch = make_synthetic_batch(len(lambdas), 3, size, seed=args.seed)
+    batch = make_synthetic_batch(len(lambdas), seq_len, size,
+                                 seed=args.seed)
     loader = OverfitLoader(batch, args.iters)
     test_loader = OverfitLoader(batch, 1)
 
@@ -261,6 +278,9 @@ def main():
     ap.add_argument("--mp", action="store_true",
                     help="train under SOLVER.MIXED_PRECISION (bf16 compute, "
                          "f32 master params/moments)")
+    ap.add_argument("--p4", action="store_true",
+                    help="append the reference curriculum's final depth: "
+                         "a p_frames=4 cascade stage (5-frame sequences)")
     ap.add_argument("--grad-accum", type=int, default=2,
                     help="SOLVER.GRAD_ACCUM_STEPS for the cascade stage "
                          "(2 = fits one v5e chip at 256x256 f32)")
