@@ -161,6 +161,15 @@ def run(args):
         resume_opt_blob = ckpt.load_opt_blob()
         print(f"resuming from epoch {start_epoch} "
               f"({ckpt.get_checkpoint_file()})")
+    elif getattr(args, "init_from", None):
+        # warm start: e.g. running --p4 over a completed 6-stage run's
+        # final checkpoint (its epoch stamp = the 6-stage max_epoch) drops
+        # straight into the appended p4 cascade stage instead of
+        # retraining the shared prefix.
+        params, _, extra = ckpt.load(params, path=args.init_from,
+                                     use_latest=False)
+        start_epoch = int(extra.get("epoch", 0))
+        print(f"warm start from {args.init_from} (epoch {start_epoch})")
 
     params = do_train(cfg, model, params, loader, checkpointer=ckpt,
                       start_epoch=start_epoch, test_loader=test_loader,
@@ -278,6 +287,10 @@ def main():
     ap.add_argument("--mp", action="store_true",
                     help="train under SOLVER.MIXED_PRECISION (bf16 compute, "
                          "f32 master params/moments)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start checkpoint when the output dir has no "
+                         "resume tag (e.g. a completed 6-stage run's "
+                         "overfit_final.ckpt before a --p4 extension)")
     ap.add_argument("--p4", action="store_true",
                     help="append the reference curriculum's final depth: "
                          "a p_frames=4 cascade stage (5-frame sequences)")
