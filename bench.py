@@ -237,18 +237,33 @@ def main():
 def bench_estimation(ctx) -> float:
     import jax
 
+    from vcm_ts_tpu.models.dmc import make_dpb
+
     args, force = ctx["args"], ctx["force"]
     model, params, frames = ctx["model"], ctx["params"], ctx["frames"]
+    # donate the incoming DPB: the loop threads it frame to frame, so XLA
+    # can alias the previous frame's reference buffers into the new ones
+    # instead of holding two DPB generations live (~1.2 GB at 4K bf16 —
+    # part of fitting 4K single-chip; free at 1080p)
     fwd = jax.jit(
         lambda p, x, dpb, first: model.apply(p, x, dpb, 0.7, 0.7, first),
-        static_argnums=(3,))
+        static_argnums=(3,), donate_argnums=(2,))
 
     def run_frame(i, dpb, first):
         return fwd(params, frames[i % 4], dpb, first)["dpb"]
 
-    dpb = ctx["dpb"]
+    # never touch ctx["dpb"] — it is shared with the suite's other modes
+    # and donation would delete it; build (and consume) local DPBs, seeded
+    # from a COPY of frames[0] (the first call also passes frames[0] as x,
+    # and donating a buffer that is another argument of the same call is
+    # illegal: `f(a, donate(a))`)
+    import jax.numpy as jnp
+
+    cur = make_dpb(jnp.copy(frames[0]))
     for i in range(max(2, args.warmup)):
-        force(run_frame(i, dpb, i == 0))
+        cur = run_frame(i, cur, i == 0)
+    force(cur)
+    dpb = make_dpb(jnp.copy(frames[0]))
     t0 = time.perf_counter()
     cur = dpb
     for i in range(args.frames):

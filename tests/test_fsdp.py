@@ -23,6 +23,7 @@ from vcm_ts_tpu.parallel import tensor as tp
 from vcm_ts_tpu.train.optimizer import make_stage_optimizer
 from vcm_ts_tpu.train.stages import StageParams
 from vcm_ts_tpu.train.train_step import make_single_frame_step
+from vcm_ts_tpu.utils.common import tree_copy
 
 
 def _damped_model(seed=0):
@@ -77,7 +78,9 @@ def test_fsdp_train_step_matches_unsharded():
                                       dist_lambda=1.0, pl_lambda=0.0,
                                       shard_constraint=constraint)
         if mesh is None:
-            p, o, xx, rr = params, opt_state, x, ref
+            # copies: the step donates params/opt_state and the second
+            # run() still needs the originals
+            p, o, xx, rr = tree_copy(params), opt_state, x, ref
         else:
             p = tp.shard_params_tp(params, mesh, axis="data")
             o = tp.shard_params_tp(opt_state, mesh, axis="data")

@@ -15,6 +15,7 @@ from vcm_ts_tpu.parallel import mesh as pm
 from vcm_ts_tpu.train.optimizer import make_stage_optimizer
 from vcm_ts_tpu.train.stages import StageParams
 from vcm_ts_tpu.train.train_step import make_single_frame_step
+from vcm_ts_tpu.utils.common import tree_copy
 
 
 def test_graft_entry_compiles():
@@ -52,7 +53,9 @@ def test_dp_equivalence_1_vs_8_devices():
         step = make_single_frame_step(model, tx, stage, lambdas=lambdas,
                                       dist_lambda=1.0, pl_lambda=0.0)
         if mesh is None:
-            p, o, xx, rr = params, opt_state, x, ref
+            # copies: the step donates params/opt_state and the second
+            # run() still needs the originals
+            p, o, xx, rr = tree_copy(params), opt_state, x, ref
         else:
             p = pm.replicate(params, mesh)
             o = pm.replicate(opt_state, mesh)

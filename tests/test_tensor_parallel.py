@@ -18,6 +18,7 @@ from vcm_ts_tpu.parallel import tensor as tp
 from vcm_ts_tpu.train.optimizer import make_stage_optimizer
 from vcm_ts_tpu.train.stages import StageParams
 from vcm_ts_tpu.train.train_step import make_single_frame_step
+from vcm_ts_tpu.utils.common import tree_copy
 
 
 def _damped_model(seed=0):
@@ -92,7 +93,9 @@ def test_dp_tp_train_step_matches_unsharded():
         step = make_single_frame_step(model, tx, stage, lambdas=lambdas,
                                       dist_lambda=1.0, pl_lambda=0.0)
         if mesh is None:
-            p, o, xx, rr = params, opt_state, x, ref
+            # copies: the step donates params/opt_state and the second
+            # run() still needs the originals
+            p, o, xx, rr = tree_copy(params), opt_state, x, ref
         else:
             p = tp.shard_params_tp(params, mesh)
             o = tp.shard_params_tp(opt_state, mesh)

@@ -12,6 +12,7 @@ from vcm_ts_tpu.train import train_step as ts
 from vcm_ts_tpu.train.config import default_training_cfg
 from vcm_ts_tpu.train.optimizer import (make_stage_optimizer, trainable_mask)
 from vcm_ts_tpu.train.stages import StageParams, calc_max_epoch, get_stage_params
+from vcm_ts_tpu.utils.common import tree_copy
 
 
 def tiny_model_and_params():
@@ -197,7 +198,10 @@ def test_cascade_scan_matches_unrolled():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), aux
 
-    p_scan, _, aux_scan, _ = step(params, opt_state, xs, xs,
+    # the cascade step donates params/opt_state — give it copies so the
+    # unrolled reference step can reuse the originals
+    p_scan, _, aux_scan, _ = step(tree_copy(params), tree_copy(opt_state),
+                                  xs, xs,
                                   make_dpb(jnp.asarray(seqs[:, 0]), 16, 24),
                                   rng)
     p_ref, aux_ref = unrolled_step(params, opt_state, xs, xs, dpb0, rng)
@@ -234,7 +238,8 @@ def test_cascade_remat_matches_no_remat():
         step = ts.make_cascade_step(model, tx, stage, lambdas=[85., 170.],
                                     dist_lambda=1.0, pl_lambda=0.0,
                                     remat=remat)
-        p, _, aux, _ = step(params, opt_state, xs, xs, dpb0, rng)
+        # donate copies so the second variant sees the same inputs
+        p, _, aux, _ = step(tree_copy(params), opt_state, xs, xs, dpb0, rng)
         outs[remat] = (p, np.asarray(aux.loss))
 
     np.testing.assert_allclose(outs[True][1], outs[False][1],
@@ -279,7 +284,8 @@ def test_mixed_precision_step_trains_with_f32_masters():
         step = ts.make_single_frame_step(
             model, tx, stage, lambdas=[85., 170.], dist_lambda=1.0,
             pl_lambda=0.0, compute_dtype=compute_dtype)
-        p, s = params, opt_state
+        # the step donates its inputs; both run() variants share params
+        p, s = tree_copy(params), opt_state
         losses = []
         rng = jax.random.PRNGKey(1)
         for _ in range(iters):

@@ -125,15 +125,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _private_put(x, sh):
+    """device_put onto `sh` with NO buffer aliasing back to `x`.
+
+    jax.device_put is zero-copy where it can be: shards that already live
+    on the right device reuse the source buffer. The sharded trees built
+    here are fed to train steps that DONATE them (train/train_step.py), and
+    donating an aliased buffer deletes it out from under the caller's
+    original tree ("Array has been deleted"). An on-device jnp.copy breaks
+    the alias; numpy/python leaves already copy on transfer."""
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array):
+        x = jnp.copy(x)
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put an NHWC (or any leading-batch) pytree sharded over `axis`."""
     sh = data_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: _private_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _private_put(x, sh), tree)
 
 
 def all_gather_metrics(tree):

@@ -86,8 +86,12 @@ def shard_params_tp(tree, mesh: Mesh, axis: str = "model"):
     param shapes, so the same mapping distributes the Adam moments)."""
     n = mesh.shape[axis]
 
+    from .mesh import _private_put
+
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, tp_spec(x.shape, n, axis)))
+        # _private_put: the result is donate-safe — no buffer aliasing back
+        # to `tree` (see parallel/mesh.py)
+        return _private_put(x, NamedSharding(mesh, tp_spec(x.shape, n, axis)))
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -189,7 +189,14 @@ def make_single_frame_step(model, tx, stage, *, lambdas, dist_lambda,
             pl_fn=pl_fn, noise_rng=rng, is_first_p=is_first_p,
             compute_dtype=compute_dtype)
 
-    @partial(jax.jit, static_argnums=(6,), donate_argnums=(4,))
+    # params/opt_state are donated: every caller reassigns them from the
+    # step's outputs (run_single_sequence / run_cascade_sequence), so XLA
+    # can update Adam's moments and the weights in place instead of
+    # holding both generations live — at full width that's ~210 MB of
+    # HBM high-water (params + 2 Adam moments), the same scale as the
+    # cascade stage's round-4 OOM margin. Callers that reuse an input
+    # tree after the call (A/B comparison tests) must pass a copy.
+    @partial(jax.jit, static_argnums=(6,), donate_argnums=(0, 1, 4))
     def step(params, opt_state, x, target, dpb, rng, is_first_p):
         (_, (aux, new_dpb)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, x, target, dpb, rng, is_first_p)
@@ -284,8 +291,9 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
             mean_aux = aux0
         return jnp.mean(mean_aux.loss), (mean_aux, dpb)
 
+    # donate params/opt_state too — see make_single_frame_step's note
     if accum_steps == 1:
-        @partial(jax.jit, donate_argnums=(4,))
+        @partial(jax.jit, donate_argnums=(0, 1, 4))
         def step(params, opt_state, xs, targets, dpb0, rng):
             (_, (aux, dpb)), grads = jax.value_and_grad(
                 chain_loss, has_aux=True)(params, xs, targets, dpb0, rng)
@@ -300,7 +308,7 @@ def make_cascade_step(model, tx, stage, *, lambdas, dist_lambda, pl_lambda,
 
     G = accum_steps
 
-    @partial(jax.jit, donate_argnums=(4,))
+    @partial(jax.jit, donate_argnums=(0, 1, 4))
     def step(params, opt_state, xs, targets, dpb0, rng):
         n = xs.shape[1]
         k = n // n_anchors  # replica tiling (k-process-equivalent batches)

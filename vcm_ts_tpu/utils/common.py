@@ -116,6 +116,19 @@ def generate_log_json(frame_num, frame_types, bits, psnrs, ssims,
     return log
 
 
+def tree_copy(tree):
+    """Deep-copy every array leaf of a pytree onto fresh buffers.
+
+    The jitted train steps donate their params/opt_state/dpb inputs
+    (train/train_step.py) so XLA updates them in place; a caller that
+    needs the pre-step tree afterwards (A/B comparisons, snapshots)
+    passes `tree_copy(tree)` to the step and keeps the original."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
 def enable_debug_nans(enable: bool = True) -> None:
     """NaN sanitizer for training runs (cfg.SOLVER.DEBUG_NANS).
 
