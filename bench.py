@@ -79,6 +79,18 @@ def main():
                          "aggregate batched-forward fps (measured: does "
                          "NOT beat N sequential passes at 1080p — the "
                          "spatial dim already saturates the chip)")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-frame LATENCY distribution (ms p50/p95/p99) "
+                         "for the entropy-estimated enc+dec forward: each "
+                         "frame blocks to completion (no async pipelining) "
+                         "— what a real-time caller sees per frame, vs the "
+                         "suite's async throughput")
+    ap.add_argument("--gop", type=int, default=0,
+                    help="GOP-level end-to-end bench: one IntraNoAR "
+                         "I-frame + (N-1) pipelined DMC P-frames through "
+                         "real container bytes — the reference protocol's "
+                         "unit (test_video.py GOP=32 bursts per rate "
+                         "point)")
     ap.add_argument("--train-step", action="store_true",
                     help="training throughput: cascade RD step (f32, "
                          "256x256 crops, batch=4 rate anchors, BPTT over "
@@ -160,6 +172,27 @@ def main():
     ctx = dict(model=model, params=params, frames=frames, dpb=dpb,
                h=h, w=w, force=force, args=args)
 
+    if args.latency:
+        assert ns == 1, "--latency is single-stream"
+        stats = bench_latency(ctx)
+        _emit({"metric": f"{size_tag} P-frame enc+dec per-frame latency "
+                         f"({args.dtype}, entropy-estimated, blocking)",
+               "value": stats["p50_ms"], "unit": "ms",
+               "vs_baseline": round(1000.0 / stats["p50_ms"]
+                                    / NORTH_STAR_FPS, 4),
+               **stats})
+        return
+    if args.gop:
+        assert ns == 1, "--gop is single-stream"
+        enc_fps, dec_fps = bench_gop(ctx)
+        e2e = 1.0 / (1.0 / enc_fps + 1.0 / dec_fps)
+        _emit({"metric": f"{size_tag} GOP{args.gop} I+P enc->dec fps/chip "
+                         f"({args.dtype}, real bitstream, pipelined)",
+               "value": round(e2e, 3), "unit": "fps",
+               "vs_baseline": round(e2e / NORTH_STAR_FPS, 4),
+               "gop_encode_fps": round(enc_fps, 3),
+               "gop_decode_fps": round(dec_fps, 3)})
+        return
     if args.pipelined_decode or args.pipelined_encode:
         assert ns == 1, "pipelined GOP modes are single-stream"
     if args.pipelined_decode:
@@ -348,6 +381,100 @@ def bench_seq_write(ctx) -> float:
         cur = run_frame(i, cur, i == 0)
     force(cur)
     return args.frames / (time.perf_counter() - t0)
+
+
+def bench_latency(ctx) -> dict:
+    """Blocking per-frame latency for the estimation forward. The
+    throughput suite lets XLA's async dispatch hide per-frame variance;
+    a real-time encoder cares about the distribution, so here every
+    frame synchronizes before the next is dispatched."""
+    import jax
+
+    from vcm_ts_tpu.models.dmc import make_dpb
+
+    args, force = ctx["args"], ctx["force"]
+    model, params, frames = ctx["model"], ctx["params"], ctx["frames"]
+    fwd = jax.jit(
+        lambda p, x, dpb, first: model.apply(p, x, dpb, 0.7, 0.7, first),
+        static_argnums=(3,), donate_argnums=(2,))
+
+    import jax.numpy as jnp
+
+    cur = make_dpb(jnp.copy(frames[0]))
+    for i in range(max(2, args.warmup)):
+        cur = fwd(params, frames[i % 4], cur, i == 0)["dpb"]
+    force(cur)
+
+    lat = []
+    cur = make_dpb(jnp.copy(frames[0]))
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        cur = fwd(params, frames[i % 4], cur, i == 0)["dpb"]
+        force(cur)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat = np.sort(np.asarray(lat[1:]))  # drop the first-P-frame variant
+    q = lambda p: float(np.percentile(lat, p))  # noqa: E731
+    return {"p50_ms": round(q(50), 2), "p95_ms": round(q(95), 2),
+            "p99_ms": round(q(99), 2), "mean_ms": round(float(lat.mean()), 2),
+            "max_ms": round(float(lat.max()), 2), "n": int(lat.size)}
+
+
+def bench_gop(ctx):
+    """One full GOP through real container bytes: IntraCodec encodes and
+    decodes frame 0 (the encoder, like the reference's, decodes its own
+    I-stream so the DPB seeds from the exact reconstruction a decoder will
+    have — test_video.py run_one_point semantics), then the pipelined
+    VideoCodec engines carry the remaining P-frames. Returns
+    (encode_fps, decode_fps) over the whole GOP."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcm_ts_tpu.codec.engine import IntraCodec
+    from vcm_ts_tpu.models.dmc import make_dpb
+    from vcm_ts_tpu.models.intra import IntraNoAR
+    from vcm_ts_tpu.utils.precision import cast_params, cast_params_mixed
+
+    args, frames, force = ctx["args"], ctx["frames"], ctx["force"]
+    h, w = ctx["h"], ctx["w"]
+    gop = args.gop
+    dtype = frames[0].dtype
+
+    i_model = IntraNoAR()
+    i_params = i_model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), 1.0)
+    if args.dtype == "bf16":
+        i_params = cast_params(i_params, dtype)
+    elif args.dtype == "mixed":
+        i_params = cast_params_mixed(i_params)
+    i_codec = IntraCodec(i_model, i_params)
+    i_codec.update()
+    codec = _make_codec(ctx)
+
+    seq = [frames[i % 4] for i in range(1, gop)]  # P-frames
+    IQ, PQ = 0.5, 0.7
+
+    def encode():
+        i_stream = i_codec.compress(frames[0], IQ)
+        r0 = i_codec.decompress(i_stream, h, w, IQ).astype(dtype)
+        streams, _ = codec.encode_gop(seq, make_dpb(r0), PQ, PQ)
+        return i_stream, streams
+
+    def decode(i_stream, streams):
+        r0 = i_codec.decompress(i_stream, h, w, IQ).astype(dtype)
+        recons, dpb = codec.decode_gop(make_dpb(r0), streams, h, w, PQ, PQ)
+        force(dpb)
+        return recons
+
+    # warm every jitted stage (I enc/dec + both P GOP variants)
+    i_s, p_s = encode()
+    decode(i_s, p_s[:2])
+
+    t0 = time.perf_counter()
+    i_s, p_s = encode()
+    t1 = time.perf_counter()
+    decode(i_s, p_s)
+    t2 = time.perf_counter()
+    return gop / (t1 - t0), gop / (t2 - t1)
 
 
 def bench_train_step(args) -> dict:

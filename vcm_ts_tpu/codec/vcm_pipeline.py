@@ -389,6 +389,103 @@ def encode_frames(src_root, video_path, crf, preset="medium", pix_fmt="gbrp",
         video_to_frames(video_path, frames_path, "", filename_template)
 
 
+def load_intra_codec(image_model_weights, rate_count=6):
+    """Build an IntraCodec with CDF tables + its q-scale rate ladder.
+
+    Accepts reference .pth, framework checkpoints, or None/"" (random init —
+    for smoke tests). Shared by the base-layer driver and the learned
+    enhancement layer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.intra import IntraNoAR
+    from ..utils.common import interpolate_log
+    from ..utils.weight_import import (get_i_frame_q_scales_from_ckpt,
+                                       import_state_dict,
+                                       load_torch_state_dict)
+    from .engine import IntraCodec
+
+    i_model = IntraNoAR()
+    i_params = i_model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), 1.0)
+    if image_model_weights and image_model_weights.endswith(".pth"):
+        i_params = import_state_dict(
+            i_params, load_torch_state_dict(image_model_weights),
+            strict=False)
+        i_q = get_i_frame_q_scales_from_ckpt(image_model_weights)
+    elif image_model_weights:
+        from ..train.checkpoint import CheckPointer
+        i_params, _, _ = CheckPointer().load(i_params,
+                                             path=image_model_weights)
+        i_q = np.asarray(i_params["params"]["q_scale"]).reshape(-1)
+    else:
+        i_q = np.asarray(i_params["params"]["q_scale"]).reshape(-1)
+    if i_q[0] <= i_q[-1]:
+        scales = np.full(rate_count, float(i_q[0]))
+    else:
+        scales = interpolate_log(i_q[-1], i_q[0], rate_count)
+    codec = IntraCodec(i_model, i_params)
+    codec.update(force=True)
+    return codec, scales
+
+
+def encode_residuals_learned(root, image_model_weights, quality,
+                             out_frames_dir, rate_count=6,
+                             filename_template="im%05d.png") -> None:
+    """TPU-native enhancement layer: the masked-residual frames go through
+    the framework's own learned IntraCodec instead of ffmpeg/x265 — one
+    container .bin per frame under encoded/enhancement_bins, decoded
+    residuals written to `out_frames_dir` for fuse_layers (drop-in for the
+    reference's H.265 path, video_coder.py:488-519, with zero external
+    binaries; enabled by ENHANCEMENT_LAYER.CODEC="intra")."""
+    import cv2 as cv
+    import jax.numpy as jnp
+
+    from . import bitstream as bs
+
+    logger = logging.getLogger(_LOGGER_NAME)
+    codec, scales = load_intra_codec(image_model_weights, rate_count)
+    q_scale = float(scales[quality])
+
+    residuals = sorted(glob(os.path.join(root, PATHS_ARTIFACTS_RESIDUALS,
+                                         "*.png")))
+    bins_dir = os.path.join(root, PATHS_ENCODED_DIR, "enhancement_bins")
+    shutil.rmtree(bins_dir, ignore_errors=True)
+    os.makedirs(bins_dir, exist_ok=True)
+    shutil.rmtree(out_frames_dir, ignore_errors=True)
+    os.makedirs(out_frames_dir, exist_ok=True)
+
+    logger.info("Encoding %d residual frames with the learned intra codec "
+                "(q_scale=%.4f)", len(residuals), q_scale)
+    t0, total_bits = time.time(), 0
+    for i, path in enumerate(residuals):
+        res = cv.imread(path).astype(np.float32) / 255.0
+        h, w, _ = res.shape
+        x = jnp.asarray(bs.pad_image(res[None]))
+        bin_name = os.path.splitext(filename_template % (i + 1))[0] + ".bin"
+        out = codec.encode_decode(
+            x, q_scale, output_path=os.path.join(bins_dir, bin_name),
+            pic_height=h, pic_width=w)
+        total_bits += out["bit"]
+        recon = np.asarray(out["x_hat"])[0, :h, :w, :]
+        cv.imwrite(os.path.join(out_frames_dir, filename_template % (i + 1)),
+                   (np.clip(recon, 0, 1) * 255).round().astype(np.uint8))
+    logger.info("Learned enhancement layer: %d bits total, %.2f s",
+                int(total_bits), time.time() - t0)
+
+
+def _enhancement_layer_bits(root) -> int:
+    """Size of whichever enhancement layer exists: the H.265 file or the
+    learned per-frame .bin directory (0 when neither was produced)."""
+    h265 = os.path.join(root, PATHS_ENCODED_DIR, "enhancement_layer.h265")
+    if os.path.exists(h265):
+        return 8 * os.path.getsize(h265)
+    bins = os.path.join(root, PATHS_ENCODED_DIR, "enhancement_bins")
+    if os.path.isdir(bins):
+        return 8 * get_dir_size(bins)
+    return 0
+
+
 def create_gradient_mask(w, h, border_size: int):
     """Soft ROI border ramp (video_coder.py:522-530)."""
     if border_size > 0:
@@ -449,8 +546,7 @@ def encode_same_bitrate(root, source_video_path, out_video_path,
     frame_count = int(cap.get(cv.CAP_PROP_FRAME_COUNT))
     duration = frame_count / fps
 
-    enh = 8 * os.path.getsize(
-        os.path.join(root, PATHS_ENCODED_DIR, "enhancement_layer.h265"))
+    enh = _enhancement_layer_bits(root)
     base = 8 * get_dir_size(os.path.join(root, PATHS_ENCODED_DIR,
                                          "dcvc_hem_bins"))
     bitrate = int((enh + base) / duration / 1000)
@@ -487,8 +583,7 @@ def calc_bitrate_metrics(root, video_path, gop) -> dict:
     assert total_pixels > 0
 
     src_size = 8 * os.path.getsize(video_path)
-    enh_path = os.path.join(root, PATHS_ENCODED_DIR, "enhancement_layer.h265")
-    enh_size = 8 * os.path.getsize(enh_path) if os.path.exists(enh_path) else 0
+    enh_size = _enhancement_layer_bits(root)
     base_size = 8 * get_dir_size(
         os.path.join(root, PATHS_ENCODED_DIR, "dcvc_hem_bins"))
     encoded_size = enh_size + base_size

@@ -127,10 +127,20 @@ def default_codec_settings() -> CfgNode:
         node.PADDING = 10
         node.PROB = 0.9
         cfg.ENHANCEMENT_LAYER.DETECTORS[det] = node
+    # which codec carries the ROI residuals: "h265" = the reference's
+    # ffmpeg/x265 path (video_coder.py:488-519); "intra" = the framework's
+    # own learned IntraCodec (TPU-native, zero external binaries — see
+    # codec/vcm_pipeline.py encode_residuals_learned)
+    cfg.ENHANCEMENT_LAYER.CODEC = "h265"
     cfg.ENHANCEMENT_LAYER.H265 = CfgNode()
     cfg.ENHANCEMENT_LAYER.H265.CRF = 25
     cfg.ENHANCEMENT_LAYER.H265.PIX_FMT = "gbrp"
     cfg.ENHANCEMENT_LAYER.H265.PRESET = "veryfast"
+    cfg.ENHANCEMENT_LAYER.LEARNED = CfgNode()
+    # "" = reuse BASE_LAYER.DCVC_HEM.I_FRAME_WEIGHTS
+    cfg.ENHANCEMENT_LAYER.LEARNED.I_FRAME_WEIGHTS = ""
+    cfg.ENHANCEMENT_LAYER.LEARNED.QUALITY = 1
+    cfg.ENHANCEMENT_LAYER.LEARNED.RATE_COUNT = 6
 
     cfg.COMPARE = CfgNode()
     cfg.COMPARE.H265 = CfgNode()

@@ -80,9 +80,20 @@ def main():
             out_residuals_dir=os.path.join(args.result_root,
                                            vp.PATHS_ARTIFACTS_RESIDUALS))
 
+        enh_codec = codec_settings.ENHANCEMENT_LAYER.CODEC
         have_ffmpeg = shutil.which("ffmpeg") is not None
-        h265 = codec_settings.ENHANCEMENT_LAYER.H265
-        if have_ffmpeg:
+        if enh_codec == "intra":
+            learned = codec_settings.ENHANCEMENT_LAYER.LEARNED
+            vp.encode_residuals_learned(
+                args.result_root,
+                image_model_weights=(
+                    learned.I_FRAME_WEIGHTS
+                    or codec_settings.BASE_LAYER.DCVC_HEM.I_FRAME_WEIGHTS),
+                quality=learned.QUALITY, rate_count=learned.RATE_COUNT,
+                out_frames_dir=os.path.join(
+                    args.result_root, vp.PATHS_ARTIFACTS_RESIDUALS_ENCODED))
+        elif have_ffmpeg:
+            h265 = codec_settings.ENHANCEMENT_LAYER.H265
             vp.encode_frames(
                 src_root=os.path.join(args.result_root,
                                       vp.PATHS_ARTIFACTS_RESIDUALS),
@@ -96,7 +107,9 @@ def main():
         else:
             logger.warning(
                 "ffmpeg not found: skipping H.265 enhancement-layer encode; "
-                "the decoder will fuse the raw (lossless) residual PNGs")
+                "the decoder will fuse the raw (lossless) residual PNGs "
+                "(set ENHANCEMENT_LAYER.CODEC: intra for the ffmpeg-free "
+                "learned enhancement layer)")
 
         vp.calc_bitrate_metrics(args.result_root, args.video_path,
                                 gop=codec_settings.BASE_LAYER.DCVC_HEM.GOP)
