@@ -275,12 +275,19 @@ def detect_rois(root, kind, prob=0.8, padding=0, detector=None,
 
 def build_detector(kind: str):
     if kind == "liplates":
+        # preferred: the framework's own native detector (TPU inference, no
+        # torch zoo) on weights exported once by tools/export_yolo_detector
+        native = "pretrained/yolov8-lp.npz"
+        if os.path.exists(native):
+            from ..eval.yolo_native import build_lp_adapter
+            return build_lp_adapter(native)
         try:
             from ultralytics import YOLO
         except ImportError as e:
             raise RuntimeError(
-                "license-plate detection needs the 'ultralytics' package "
-                "and pretrained/yolov8-lp.pt") from e
+                "license-plate detection needs pretrained/yolov8-lp.npz "
+                "(export once with tools/export_yolo_detector.py) or the "
+                "'ultralytics' package + pretrained/yolov8-lp.pt") from e
 
         model = YOLO("pretrained/yolov8-lp.pt")
 

@@ -71,14 +71,22 @@ def _build_fasterrcnn(cfg):
 
 
 def _build_yolo(cfg):
+    # preferred: the framework's native YOLOv8 (TPU inference, torch-free)
+    # on weights exported once by tools/export_yolo_detector.py
+    native = os.path.join("pretrained", "yolov8m.npz")
+    if os.path.exists(native):
+        from .yolo_native import build_eval_adapter
+        logger.info("OD-mAP eval: native YOLOv8 detector from %s", native)
+        return build_eval_adapter(native)
     try:
         from ultralytics import YOLO
     except ImportError as e:
         logger.warning(
-            "OD-mAP eval needs ultralytics for the YOLOv8 detector "
-            "(reference validation.py:140); not installed (%s) — skipping "
-            "mAP during training. Install ultralytics + place "
-            "pretrained/yolov8m.pt to enable.", e)
+            "OD-mAP eval needs the YOLOv8 detector (reference "
+            "validation.py:140): export pretrained/yolov8m.npz once with "
+            "tools/export_yolo_detector.py, or install ultralytics + "
+            "place pretrained/yolov8m.pt (%s) — skipping mAP during "
+            "training.", e)
         return None
     det = YOLO(os.path.join("pretrained", "yolov8m.pt"))
 
