@@ -101,10 +101,28 @@ def build_rcnn():
 
 
 def build_yolo(weights):
+    # preferred: the framework's native YOLOv8 (eval/yolo_native.py) on a
+    # torch-free .npz (tools/export_yolo_detector.py) — weights may name
+    # the .npz directly, or a sibling .npz of the .pt is picked up
+    native = weights if weights.endswith(".npz") else (
+        os.path.splitext(weights)[0] + ".npz")
+    if os.path.exists(native):
+        from vcm_ts_tpu.eval.yolo_native import YOLOv8NativeDetector
+        det_native = YOLOv8NativeDetector.load(native)
+
+        def det(rgb, labels_start_index):
+            boxes, scores, labels = det_native.detect_padded(rgb)
+            return {"boxes": boxes,
+                    "labels": labels.astype(np.int64) + labels_start_index,
+                    "scores": scores}
+
+        return det
     try:
         from ultralytics import YOLO
     except ImportError as e:
-        raise RuntimeError("YOLO inference needs ultralytics") from e
+        raise RuntimeError(
+            "YOLO inference needs ultralytics (or export a torch-free "
+            f"{native} once with tools/export_yolo_detector.py)") from e
     import torch
     model = YOLO(weights)
 

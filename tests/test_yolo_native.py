@@ -188,3 +188,24 @@ def test_detect_end_to_end_plumbing(tmp_path):
     out = ev(frame[None].astype(np.float32) / 255.0)
     assert set(out) == {"boxes", "labels", "scores"}
     assert out["labels"].dtype == np.int64
+
+
+def test_detect_padded_and_benchmark_plot_backend(tmp_path):
+    """detect_padded runs at the frame's own /32-padded size (the
+    benchmark_plot YOLO protocol) and the benchmark_plot build_yolo
+    factory prefers the .npz backend."""
+    path, _, _ = _twin_npz(tmp_path)
+    det = yn.YOLOv8NativeDetector.load(path)
+    frame = (np.random.default_rng(13).random((40, 70, 3)) * 255
+             ).astype(np.uint8)
+    boxes, scores, labels = det.detect_padded(frame, conf=0.0, iou=0.9,
+                                              max_det=5)
+    assert 0 < boxes.shape[0] <= 5
+    assert (boxes[:, [0, 2]] >= 0).all() and (boxes[:, [0, 2]] <= 70).all()
+    assert (boxes[:, [1, 3]] >= 0).all() and (boxes[:, [1, 3]] <= 40).all()
+
+    import benchmark_plot as bp
+    adapter = bp.build_yolo(str(path))  # .npz named directly
+    out = adapter(frame, labels_start_index=1)
+    assert set(out) == {"boxes", "labels", "scores"}
+    assert out["labels"].min() >= 1  # start-index shift applied

@@ -241,6 +241,34 @@ class YOLOv8NativeDetector:
         return boxes, best, labels
 
 
+    def detect_padded(self, frame_rgb_uint8: np.ndarray, conf: float = 0.25,
+                      iou: float = 0.45, max_det: int = 300):
+        """Full-resolution detection at the frame's own size, padded to a
+        /32 multiple (benchmark_plot.py's YOLO protocol — no letterbox
+        rescale). One jit specialization per distinct padded size."""
+        from ..codec.bitstream import get_padding_size
+
+        h0, w0 = frame_rgb_uint8.shape[:2]
+        pl, pr, pt, pb = get_padding_size(h0, w0, p=32)
+        canvas = np.pad(frame_rgb_uint8.astype(np.float32) / 255.0,
+                        ((pt, pb), (pl, pr), (0, 0)))
+        boxes, scores = self.raw(canvas[None])
+        boxes = np.asarray(boxes[0], np.float32)
+        scores = np.asarray(scores[0], np.float32)
+        labels = scores.argmax(-1)
+        best = scores.max(-1)
+        sel = best >= conf
+        boxes, best, labels = boxes[sel], best[sel], labels[sel]
+        if boxes.shape[0]:
+            dim = float(max(canvas.shape[:2]))
+            off = labels[:, None].astype(np.float32) * (dim * 2)
+            keep = nms(boxes + off, best, iou, max_det)
+            boxes, best, labels = boxes[keep], best[keep], labels[keep]
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pl).clip(0, w0)
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pt).clip(0, h0)
+        return boxes, best, labels
+
+
 def build_lp_adapter(npz_path: str, conf: float = 0.25):
     """vcm_pipeline.build_detector contract: frame -> (boxes, scores)."""
     det = YOLOv8NativeDetector.load(npz_path)
