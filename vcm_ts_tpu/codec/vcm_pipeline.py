@@ -298,11 +298,19 @@ def build_detector(kind: str):
 
         return det
     if kind == "faces":
+        # preferred: the framework's native MTCNN cascade (TPU inference)
+        # on weights exported once by tools/export_mtcnn.py
+        native = "pretrained/mtcnn.npz"
+        if os.path.exists(native):
+            from ..eval.mtcnn_native import build_face_adapter
+            return build_face_adapter(native)
         try:
             from facenet_pytorch import MTCNN
         except ImportError as e:
             raise RuntimeError(
-                "face detection needs the 'facenet_pytorch' package") from e
+                "face detection needs pretrained/mtcnn.npz (export once "
+                "with tools/export_mtcnn.py) or the 'facenet_pytorch' "
+                "package") from e
 
         model = MTCNN(device="cpu")
         model.eval()
