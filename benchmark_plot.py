@@ -111,6 +111,10 @@ def build_yolo(weights):
         det_native = YOLOv8NativeDetector.load(native)
 
         def det(rgb, labels_start_index):
+            # callers hand float [0,1] RGB (png_io readers); detect_padded
+            # expects uint8 pixels
+            if rgb.dtype != np.uint8:
+                rgb = np.rint(rgb * 255).clip(0, 255).astype(np.uint8)
             boxes, scores, labels = det_native.detect_padded(rgb)
             return {"boxes": boxes,
                     "labels": labels.astype(np.int64) + labels_start_index,

@@ -151,34 +151,22 @@ def encode_decode_dcvc(frames_dir, image_model_weights, video_model_weights,
     import jax.numpy as jnp
 
     from ..models.dmc import DMC, make_dpb
-    from ..models.intra import IntraNoAR
-    from ..utils.common import interpolate_log
-    from ..utils.weight_import import (get_i_frame_q_scales_from_ckpt,
-                                       get_q_scales_from_ckpt,
+    from ..utils.weight_import import (get_q_scales_from_ckpt,
                                        import_state_dict,
                                        load_torch_state_dict)
-    from .engine import IntraCodec, VideoCodec
+    from .engine import VideoCodec
 
     logger = logging.getLogger(_LOGGER_NAME)
     assert image_model_weights, "Invalid image model weights"
     assert video_model_weights, "Invalid video model weights"
 
-    i_model = IntraNoAR()
-    i_params = i_model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, 3)), 1.0)
+    i_codec, i_scales = load_intra_codec(image_model_weights, rate_count,
+                                         update=write_stream)
+
     p_model = DMC(anchor_num=anchor_num)
     x0 = jnp.zeros((1, 64, 64, 3))
     p_params = p_model.init(jax.random.PRNGKey(0), x0, make_dpb(x0),
                             1.0, 1.0, method="init_all")
-
-    if image_model_weights.endswith(".pth"):
-        i_params = import_state_dict(
-            i_params, load_torch_state_dict(image_model_weights), strict=False)
-        i_q = get_i_frame_q_scales_from_ckpt(image_model_weights)
-    else:
-        from ..train.checkpoint import CheckPointer
-        i_params, _, _ = CheckPointer().load(i_params, path=image_model_weights)
-        i_q = np.asarray(i_params["params"]["q_scale"]).reshape(-1)
     if video_model_weights.endswith(".pth"):
         p_params = import_state_dict(
             p_params, load_torch_state_dict(video_model_weights), strict=False)
@@ -189,21 +177,11 @@ def encode_decode_dcvc(frames_dir, image_model_weights, video_model_weights,
         y_q = np.asarray(p_params["params"]["y_q_scale"]).reshape(-1)
         mv_q = np.asarray(p_params["params"]["mv_y_q_scale"]).reshape(-1)
 
-    def _interp(q):
-        # untrained/constant q_scales (e.g. fresh checkpoints) cannot be
-        # log-interpolated; fall back to a constant rate ladder
-        if q[0] <= q[-1]:
-            return np.full(rate_count, float(q[0]))
-        return interpolate_log(q[-1], q[0], rate_count)
+    y_scales = _q_ladder(y_q, rate_count)
+    mv_scales = _q_ladder(mv_q, rate_count)
 
-    i_scales = _interp(i_q)
-    y_scales = _interp(y_q)
-    mv_scales = _interp(mv_q)
-
-    i_codec = IntraCodec(i_model, i_params)
     video_codec = VideoCodec(p_model, p_params)
     if write_stream:
-        i_codec.update(force=True)
         video_codec.update(force=True)
 
     shutil.rmtree(out_frames_dir, ignore_errors=True)
@@ -404,17 +382,29 @@ def encode_frames(src_root, video_path, crf, preset="medium", pix_fmt="gbrp",
         video_to_frames(video_path, frames_path, "", filename_template)
 
 
-def load_intra_codec(image_model_weights, rate_count=6):
-    """Build an IntraCodec with CDF tables + its q-scale rate ladder.
+def _q_ladder(q, rate_count):
+    """q-scale rate ladder. Untrained/constant q_scales (e.g. fresh
+    checkpoints) cannot be log-interpolated; fall back to a constant
+    ladder."""
+    from ..utils.common import interpolate_log
+
+    q = np.asarray(q).reshape(-1)
+    if q[0] <= q[-1]:
+        return np.full(rate_count, float(q[0]))
+    return interpolate_log(q[-1], q[0], rate_count)
+
+
+def load_intra_codec(image_model_weights, rate_count=6, update=True):
+    """Build an IntraCodec + its q-scale rate ladder.
 
     Accepts reference .pth, framework checkpoints, or None/"" (random init —
-    for smoke tests). Shared by the base-layer driver and the learned
-    enhancement layer."""
+    for smoke tests). Shared by the base-layer driver
+    (encode_decode_dcvc) and the learned enhancement layer. `update`
+    builds the CDF coding tables (needed for real bitstreams)."""
     import jax
     import jax.numpy as jnp
 
     from ..models.intra import IntraNoAR
-    from ..utils.common import interpolate_log
     from ..utils.weight_import import (get_i_frame_q_scales_from_ckpt,
                                        import_state_dict,
                                        load_torch_state_dict)
@@ -435,13 +425,10 @@ def load_intra_codec(image_model_weights, rate_count=6):
         i_q = np.asarray(i_params["params"]["q_scale"]).reshape(-1)
     else:
         i_q = np.asarray(i_params["params"]["q_scale"]).reshape(-1)
-    if i_q[0] <= i_q[-1]:
-        scales = np.full(rate_count, float(i_q[0]))
-    else:
-        scales = interpolate_log(i_q[-1], i_q[0], rate_count)
     codec = IntraCodec(i_model, i_params)
-    codec.update(force=True)
-    return codec, scales
+    if update:
+        codec.update(force=True)
+    return codec, _q_ladder(i_q, rate_count)
 
 
 def encode_residuals_learned(root, image_model_weights, quality,
@@ -469,6 +456,11 @@ def encode_residuals_learned(root, image_model_weights, quality,
     os.makedirs(bins_dir, exist_ok=True)
     shutil.rmtree(out_frames_dir, ignore_errors=True)
     os.makedirs(out_frames_dir, exist_ok=True)
+    # a result_root previously encoded with CODEC='h265' may hold a stale
+    # enhancement_layer.h265 — size accounting prefers it, so remove it
+    stale = os.path.join(root, PATHS_ENCODED_DIR, "enhancement_layer.h265")
+    if os.path.exists(stale):
+        os.remove(stale)
 
     logger.info("Encoding %d residual frames with the learned intra codec "
                 "(q_scale=%.4f)", len(residuals), q_scale)

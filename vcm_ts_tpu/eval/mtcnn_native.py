@@ -176,19 +176,27 @@ def rerec(boxes):
 
 
 def _crop_resize(img, boxes, size):
-    """Extract (clamped) box crops and resize to (size, size), area mode."""
+    """Extract (clamped) box crops and resize to (size, size), area mode.
+
+    Boxes are 1-INDEXED inclusive (the Matlab-MTCNN convention
+    generate_bounding_boxes emits: q1 = stride*idx + 1); the pixel region
+    of box (x1, y1, x2, y2) is img[y1-1:y2, x1-1:x2] — the same rows
+    facenet_pytorch crops, so exported pretrained weights see the crops
+    they were trained for."""
     import cv2 as cv
 
     h, w = img.shape[:2]
     crops = np.zeros((len(boxes), size, size, 3), np.float32)
     for i, (x1, y1, x2, y2) in enumerate(
             boxes[:, :4].round().astype(np.int64)):
-        cx1, cy1 = max(x1, 0), max(y1, 0)
-        cx2, cy2 = min(x2 + 1, w), min(y2 + 1, h)
+        sx1, sy1, sx2, sy2 = x1 - 1, y1 - 1, x2, y2  # 0-indexed, exclusive
+        cx1, cy1 = max(sx1, 0), max(sy1, 0)
+        cx2, cy2 = min(sx2, w), min(sy2, h)
         if cx2 <= cx1 or cy2 <= cy1:
             continue
-        patch = np.zeros((y2 - y1 + 1, x2 - x1 + 1, 3), img.dtype)
-        patch[cy1 - y1:cy2 - y1, cx1 - x1:cx2 - x1] = img[cy1:cy2, cx1:cx2]
+        patch = np.zeros((sy2 - sy1, sx2 - sx1, 3), img.dtype)
+        patch[cy1 - sy1:cy2 - sy1, cx1 - sx1:cx2 - sx1] = \
+            img[cy1:cy2, cx1:cx2]
         crops[i] = cv.resize(patch.astype(np.float32), (size, size),
                              interpolation=cv.INTER_AREA)
     return crops

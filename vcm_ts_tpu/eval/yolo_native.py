@@ -229,8 +229,11 @@ class YOLOv8NativeDetector:
         boxes, best, labels = boxes[sel], best[sel], labels[sel]
         if boxes.shape[0]:
             # class-aware NMS: offset boxes per class so cross-class pairs
-            # never suppress each other
-            off = labels[:, None].astype(np.float32) * (self.imgsz * 2)
+            # never suppress each other. Decoded boxes are unclipped, so
+            # their span exceeds the canvas by (reg_max-1)*stride on each
+            # side — the offset step must clear the full span
+            step = self.imgsz + 2 * self.reg_max * max(STRIDES)
+            off = labels[:, None].astype(np.float32) * step
             keep = nms(boxes + off, best, iou, max_det)
             boxes, best, labels = boxes[keep], best[keep], labels[keep]
         # undo letterbox
@@ -260,8 +263,11 @@ class YOLOv8NativeDetector:
         sel = best >= conf
         boxes, best, labels = boxes[sel], best[sel], labels[sel]
         if boxes.shape[0]:
-            dim = float(max(canvas.shape[:2]))
-            off = labels[:, None].astype(np.float32) * (dim * 2)
+            # offset step must clear the unclipped decoded-box span (see
+            # detect())
+            step = (float(max(canvas.shape[:2]))
+                    + 2 * self.reg_max * max(STRIDES))
+            off = labels[:, None].astype(np.float32) * step
             keep = nms(boxes + off, best, iou, max_det)
             boxes, best, labels = boxes[keep], best[keep], labels[keep]
         boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pl).clip(0, w0)
@@ -280,8 +286,12 @@ def build_lp_adapter(npz_path: str, conf: float = 0.25):
     return adapter
 
 
-def build_eval_adapter(npz_path: str, conf: float = 0.05):
-    """eval/detector.py contract: decoded [0,1] (1,H,W,C) -> dict."""
+def build_eval_adapter(npz_path: str, conf: float = 0.25):
+    """eval/detector.py contract: decoded [0,1] (1,H,W,C) -> dict.
+
+    conf defaults to 0.25 — the ultralytics predict() default the
+    fallback backend runs at — so mAP numbers stay comparable across
+    backends."""
     det = YOLOv8NativeDetector.load(npz_path)
 
     def adapter(decoded):

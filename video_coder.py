@@ -81,6 +81,10 @@ def main():
                                            vp.PATHS_ARTIFACTS_RESIDUALS))
 
         enh_codec = codec_settings.ENHANCEMENT_LAYER.CODEC
+        if enh_codec not in ("h265", "intra"):
+            raise ValueError(
+                f"ENHANCEMENT_LAYER.CODEC must be 'h265' or 'intra', got "
+                f"{enh_codec!r}")
         have_ffmpeg = shutil.which("ffmpeg") is not None
         if enh_codec == "intra":
             learned = codec_settings.ENHANCEMENT_LAYER.LEARNED
@@ -93,6 +97,11 @@ def main():
                 out_frames_dir=os.path.join(
                     args.result_root, vp.PATHS_ARTIFACTS_RESIDUALS_ENCODED))
         elif have_ffmpeg:
+            # drop any stale learned-layer bins from a previous CODEC=intra
+            # run so the size accounting counts this run's layer only
+            shutil.rmtree(os.path.join(args.result_root, vp.PATHS_ENCODED_DIR,
+                                       "enhancement_bins"),
+                          ignore_errors=True)
             h265 = codec_settings.ENHANCEMENT_LAYER.H265
             vp.encode_frames(
                 src_root=os.path.join(args.result_root,
