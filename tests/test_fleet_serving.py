@@ -188,3 +188,33 @@ def test_fleet_intra_codec(fleet):
     finally:
         codec._batch_sharding = None
     assert out == gt  # lists of per-stream bytes
+
+
+def test_concurrent_decode_gop_threads_bit_identical(fleet):
+    """bench.py --pipelined-decode --streams N: decode_gop holds no shared
+    mutable codec state (per-frame EntropyCoders, read-only tables), so N
+    host threads can interleave sessions through ONE codec — each
+    stream's tunnel-RTT stalls overlap the others' device stages. Pin the
+    contract: concurrent decodes reproduce the sequential recons exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    model, params, codec, mesh = fleet
+    rng = np.random.default_rng(7)
+    seq = [jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+           for _ in range(3)]
+    dpb = make_dpb(seq[0], model.channel_N, model.channel_M)
+    streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
+
+    ref_recons, _ = codec.decode_gop(dpb, streams, 64, 64, 0.7, 0.7)
+    ref = [np.asarray(r) for r in ref_recons]
+
+    def run(_i):
+        recons, _ = codec.decode_gop(dpb, streams, 64, 64, 0.7, 0.7)
+        return [np.asarray(r) for r in recons]
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(run, range(3)))
+    for got in results:
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(g, r)
