@@ -193,8 +193,17 @@ def main():
                "gop_encode_fps": round(enc_fps, 3),
                "gop_decode_fps": round(dec_fps, 3)})
         return
-    if args.pipelined_encode:
-        assert ns == 1, "pipelined GOP encode is single-stream"
+    if args.pipelined_encode and ns > 1:
+        ctx1 = dict(ctx)
+        ctx1["frames"] = [f[:1] for f in frames]
+        ctx1["dpb"] = make_dpb(ctx1["frames"][0])
+        fps = bench_pipelined_encode_multi(ctx1, ns)
+        _emit({"metric": f"{size_tag} P-frame pipelined ENCODE aggregate "
+                         f"fps/chip ({args.dtype}, real bitstream, "
+                         f"{ns} interleaved streams)",
+               "value": round(fps, 3), "unit": "fps",
+               "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
+        return
     if args.pipelined_decode and ns > 1:
         # N INTERLEAVED single-stream decodes on host threads through one
         # codec (decode_gop holds no shared mutable state): while stream A
@@ -353,6 +362,26 @@ def bench_pipelined_decode(ctx) -> float:
     _, d = codec.decode_gop(dpb, streams, h, w, 0.7, 0.7)
     force(d)
     return args.frames / (time.perf_counter() - t0)
+
+
+def bench_pipelined_encode_multi(ctx, n_threads: int) -> float:
+    """N concurrent encode_gop sessions through one codec (the encode path
+    holds no shared mutable state — per-call host coders). Aggregate
+    frames/s."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    args, frames, dpb = ctx["args"], ctx["frames"], ctx["dpb"]
+    codec = _make_codec(ctx)
+    seq = [frames[i % 4] for i in range(args.frames)]
+    codec.encode_gop(seq[:2], dpb, 0.7, 0.7)  # warm
+
+    pool = ThreadPoolExecutor(max_workers=n_threads)
+    t0 = time.perf_counter()
+    list(pool.map(lambda _i: codec.encode_gop(seq, dpb, 0.7, 0.7),
+                  range(n_threads)))
+    dt = time.perf_counter() - t0
+    pool.shutdown(wait=True)
+    return n_threads * args.frames / dt
 
 
 def bench_pipelined_decode_multi(ctx, n_threads: int) -> float:

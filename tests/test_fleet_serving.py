@@ -218,3 +218,27 @@ def test_concurrent_decode_gop_threads_bit_identical(fleet):
         assert len(got) == len(ref)
         for g, r in zip(got, ref):
             np.testing.assert_array_equal(g, r)
+
+
+def test_concurrent_encode_gop_threads_byte_identical(fleet):
+    """Encode-side dual of the decode thread test: _host_encode uses a
+    fresh per-call coder, so N threads can interleave encode_gop sessions
+    through one codec. Concurrent streams must be byte-identical to the
+    sequential encode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    model, params, codec, mesh = fleet
+    rng = np.random.default_rng(8)
+    seq = [jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+           for _ in range(3)]
+    dpb = make_dpb(seq[0], model.channel_N, model.channel_M)
+    ref_streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
+
+    def run(_i):
+        streams, _ = codec.encode_gop(seq, dpb, 0.7, 0.7)
+        return streams
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(run, range(3)))
+    for got in results:
+        assert [bytes(g) for g in got] == [bytes(r) for r in ref_streams]

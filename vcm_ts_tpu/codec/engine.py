@@ -242,23 +242,28 @@ class VideoCodec(_FleetShardingMixin):
         """Turn one frame's device symbol planes into its rANS stream.
 
         All ten planes come down in ONE device_get — sequential per-plane
-        fetches each pay a full tunnel/PCIe round trip."""
+        fetches each pay a full tunnel/PCIe round trip. A fresh per-call
+        coder (cheap: one buffered encoder) keeps the whole encode path
+        free of shared mutable state, so concurrent encode sessions can
+        interleave on host threads (bench --pipelined-encode --streams N)
+        exactly like decode_gop's per-frame coders."""
         h = jax.device_get({k: v for k, v in out.items() if k != "dpb"})
-        self.coder.reset_encoder()
-        self.coder.encode_with_indexes(
+        coder = EntropyCoder()
+        coder.reset_encoder()
+        coder.encode_with_indexes(
             h["mv_z_hat"], be.build_indexes(h["mv_z_hat"].shape),
             self.z_mv_table)
-        self.coder.encode_with_indexes(
+        coder.encode_with_indexes(
             h["mv_y_q_w_0"], h["mv_idx_w_0"], self.y_table)
-        self.coder.encode_with_indexes(
+        coder.encode_with_indexes(
             h["mv_y_q_w_1"], h["mv_idx_w_1"], self.y_table)
-        self.coder.encode_with_indexes(
+        coder.encode_with_indexes(
             h["z_hat"], be.build_indexes(h["z_hat"].shape), self.z_table)
-        self.coder.encode_with_indexes(
+        coder.encode_with_indexes(
             h["y_q_w_0"], h["idx_w_0"], self.y_table)
-        self.coder.encode_with_indexes(
+        coder.encode_with_indexes(
             h["y_q_w_1"], h["idx_w_1"], self.y_table)
-        return self.coder.flush_encoder()
+        return coder.flush_encoder()
 
     def compress_batch(self, x, dpb, mv_y_q_scale, y_q_scale,
                        is_first_p=False):
@@ -627,13 +632,14 @@ class IntraCodec(_FleetShardingMixin):
         h = jax.device_get(self._compress_planes(x, q_scale))
         z_idx = be.build_indexes(h["z_hat"].shape)
 
-        self.coder.reset_encoder()
-        self.coder.encode_with_indexes(h["z_hat"], z_idx, self.z_table)
-        self.coder.encode_with_indexes(
-            h["y_q_w_0"], h["idx_w_0"], self.y_table)
-        self.coder.encode_with_indexes(
-            h["y_q_w_1"], h["idx_w_1"], self.y_table)
-        return self.coder.flush_encoder()
+        # fresh per-call coder: no shared mutable encode state (see
+        # VideoCodec._host_encode)
+        coder = EntropyCoder()
+        coder.reset_encoder()
+        coder.encode_with_indexes(h["z_hat"], z_idx, self.z_table)
+        coder.encode_with_indexes(h["y_q_w_0"], h["idx_w_0"], self.y_table)
+        coder.encode_with_indexes(h["y_q_w_1"], h["idx_w_1"], self.y_table)
+        return coder.flush_encoder()
 
     def compress_batch(self, x, q_scale):
         """N-row batched device compress; one rANS stream per row,
