@@ -83,7 +83,25 @@ def build_rcnn():
     try:
         import torchvision
     except ImportError as e:
-        raise RuntimeError("Faster-RCNN inference needs torchvision") from e
+        # native fallback: the checkpoint is a plain state dict that loads
+        # with torch alone; detection runs in Flax (eval/rcnn_native.py)
+        weights = os.path.join(
+            "pretrained", "fasterrcnn_resnet50_fpn_v2_coco-dd69338a.pth")
+        if os.path.exists(weights):
+            from vcm_ts_tpu.eval.rcnn_native import FasterRCNNNativeDetector
+            det_native = FasterRCNNNativeDetector.load_pth(weights)
+
+            def det(rgb, labels_start_index):
+                if rgb.dtype != np.uint8:
+                    rgb = np.rint(rgb * 255).clip(0, 255).astype(np.uint8)
+                out = det_native.detect(rgb)
+                out["labels"] = out["labels"] + labels_start_index
+                return out
+
+            return det
+        raise RuntimeError(
+            f"Faster-RCNN inference needs torchvision, or place {weights} "
+            f"for the native backend") from e
     import torch
     rcnn = torchvision.models.detection.fasterrcnn_resnet50_fpn_v2(
         weights="DEFAULT")

@@ -35,19 +35,25 @@ def build_eval_detector(cfg):
 
 
 def _build_fasterrcnn(cfg):
+    weights = os.path.join(
+        "pretrained", "fasterrcnn_resnet50_fpn_v2_coco-dd69338a.pth")
     try:
         import torch
         import torchvision
     except ImportError as e:
+        # the native Faster-RCNN needs only plain torch to read the .pth
+        # (it is an ordinary state dict) — detection then runs in Flax
+        if os.path.exists(weights):
+            from .rcnn_native import build_eval_adapter
+            logger.info("OD-mAP eval: native Faster-RCNN detector from %s "
+                        "(torchvision not installed)", weights)
+            return build_eval_adapter(weights)
         logger.warning(
-            "OD-mAP eval needs torchvision for the Faster-RCNN detector "
-            "(reference validation.py:135); not installed (%s) — skipping "
-            "mAP during training. Install torchvision + place "
-            "pretrained/fasterrcnn_resnet50_fpn_v2_coco-dd69338a.pth to "
-            "enable.", e)
+            "OD-mAP eval needs the Faster-RCNN detector (reference "
+            "validation.py:135): place %s (the native backend reads it "
+            "without torchvision) or install torchvision (%s) — skipping "
+            "mAP during training.", weights, e)
         return None
-    weights = os.path.join(
-        "pretrained", "fasterrcnn_resnet50_fpn_v2_coco-dd69338a.pth")
     det = torchvision.models.detection.fasterrcnn_resnet50_fpn_v2(
         min_size=1088, max_size=1920, weights=None, weights_backbone=None)
     if os.path.exists(weights):
