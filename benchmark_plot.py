@@ -164,10 +164,27 @@ def build_yolo(weights):
 
 
 def build_ocr():
+    # preferred: the framework's native CRNN-CTC recognizer
+    # (eval/ocr_native.py), trained in-repo on synthetic plates
+    # (tools/train_plate_ocr.py) — no external OCR framework needed
+    native = os.environ.get(
+        "VCM_PLATE_OCR_NPZ", os.path.join("pretrained", "plate_ocr.npz"))
+    if os.path.exists(native):
+        from vcm_ts_tpu.eval.ocr_native import PlateOCRNative
+
+        ocr_native = PlateOCRNative.load(native)
+
+        def run(rgb, boxes):
+            return [re.sub("[^A-Z0-9]+", "", t.upper())
+                    for t in ocr_native(rgb, boxes)]
+
+        return run
     try:
         from paddleocr import PaddleOCR
     except ImportError as e:
-        raise RuntimeError("plate OCR needs paddleocr") from e
+        raise RuntimeError(
+            "plate OCR needs paddleocr, or train the native recognizer "
+            f"once with tools/train_plate_ocr.py --out {native}") from e
     import cv2
     ocr = PaddleOCR(use_angle_cls=False, lang="en", show_log=False)
 
