@@ -136,6 +136,29 @@ def test_ctc_loss_decreases_quickly():
     assert float(loss) < 0.5 * first
 
 
+_SHIPPED = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "pretrained", "plate_ocr.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_SHIPPED),
+                    reason="no shipped pretrained/plate_ocr.npz "
+                           "(train once with tools/train_plate_ocr.py)")
+def test_shipped_weights_read_held_out_plates():
+    """The committed weights must actually read plates: >= 60% exact-match
+    on held-out synthetic renders from an unseen seed (training uses seed
+    0; the full-string metric is the reference protocol's strictest text
+    metric, benchmark_plot.py:259-297)."""
+    from tools.train_plate_ocr import make_batch
+
+    ocr = PlateOCRNative.load(_SHIPPED)
+    rng = np.random.default_rng(20260820)
+    images, _, _, texts = make_batch(64, rng, WIDTH_BUCKETS[-1])
+    pred = ctc_greedy_decode(np.asarray(ocr.model.apply(ocr.params, images)))
+    exact = float(np.mean([p == t for p, t in zip(pred, texts)]))
+    assert exact >= 0.6, (
+        f"exact={exact:.2f}; sample {list(zip(texts[:4], pred[:4]))}")
+
+
 @pytest.mark.slow
 def test_overfit_fixed_plates_decodes_exactly():
     """Train on 8 fixed rendered plates until the greedy decode reproduces
