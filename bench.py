@@ -43,6 +43,32 @@ def _emit(obj) -> None:
     print(json.dumps(obj))
 
 
+# Chip-priority sentinel: while a TPU bench run is active this pidfile
+# exists, and tools/tpu_watch.py preempts (SIGTERM + requeue) whatever
+# chip job it is running so the bench gets the chip to itself within a
+# few seconds. Exists for the driver's end-of-round bench.py run, which
+# may land while the watcher has a multi-hour job (overfit curriculum)
+# holding most of HBM.
+BENCH_SENTINEL = "/tmp/vcm_bench_active"
+
+
+def _claim_chip() -> None:
+    import atexit
+
+    with open(BENCH_SENTINEL, "w") as f:
+        f.write(str(os.getpid()))
+
+    def _release():
+        try:
+            with open(BENCH_SENTINEL) as f:
+                if f.read().strip() == str(os.getpid()):
+                    os.unlink(BENCH_SENTINEL)
+        except OSError:
+            pass
+
+    atexit.register(_release)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
@@ -124,6 +150,8 @@ def main():
                          f"(vcm_ts_tpu/utils/tpu_probe.py)",
             })
             return
+    if "cpu" not in platforms.split(","):
+        _claim_chip()
 
     import jax
     import jax.numpy as jnp

@@ -44,6 +44,46 @@ def probe(timeout=120):
     return probe_tpu(timeout)[0]
 
 
+# bench.py writes its pid here while it runs against the real chip; the
+# watcher yields the chip to any bench process it did not launch itself
+# (i.e. the driver's end-of-round capture).
+BENCH_SENTINEL = "/tmp/vcm_bench_active"
+
+
+def _foreign_bench_pid(own_child_pid):
+    """Pid of a LIVE bench.py holding the sentinel, unless it is (a
+    descendant of) our own child; None otherwise. Stale files cleared."""
+    try:
+        with open(BENCH_SENTINEL) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        os.kill(pid, 0)  # liveness, no signal delivered
+    except ProcessLookupError:
+        try:
+            os.unlink(BENCH_SENTINEL)
+        except OSError:
+            pass
+        return None
+    except PermissionError:
+        pass
+    # our own bench jobs write the sentinel too: walk pid's ancestry to
+    # see if it descends from the child we launched
+    p = pid
+    for _ in range(16):
+        if p == own_child_pid:
+            return None
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                p = int(f.read().split(") ")[-1].split()[1])  # ppid
+        except (OSError, ValueError, IndexError):
+            break
+        if p <= 1:
+            break
+    return pid
+
+
 def run_job(name, cmd, timeout):
     """Run one job; return "ok" | "fail" | "outage". Logs to <name>.log.
 
@@ -56,16 +96,43 @@ def run_job(name, cmd, timeout):
     """
     path = os.path.join(OUT, name + ".log")
     log(f"start {name}: {' '.join(cmd)}")
+    preempted = False
     with open(path, "a") as f:
         f.write(f"\n=== {time.strftime('%F %T')} {' '.join(cmd)}\n")
         f.flush()
         start = f.tell()
-        try:
-            r = subprocess.run(cmd, cwd=REPO, stdout=f, stderr=f,
-                               timeout=timeout)
-            rc = r.returncode
-        except subprocess.TimeoutExpired:
-            rc = -1
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=f, stderr=f)
+        deadline = time.time() + timeout
+        rc = None
+        while rc is None:
+            try:
+                rc = proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                if time.time() > deadline:
+                    proc.terminate()
+                    try:
+                        proc.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                    rc = -1
+                elif _foreign_bench_pid(proc.pid) is not None:
+                    # the driver's bench.py claimed the chip: yield it
+                    # (SIGTERM this exact child) and requeue the job
+                    log(f"preempting {name}: foreign bench.py holds "
+                        f"{BENCH_SENTINEL}")
+                    proc.terminate()
+                    try:
+                        proc.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                    rc = -1
+                    preempted = True
+    if preempted:
+        # wait out the foreign bench before letting main retry the queue
+        while _foreign_bench_pid(None) is not None:
+            time.sleep(15)
+        log(f"{name} preempted by bench.py; will retry")
+        return "outage"
     with open(path) as f:
         f.seek(start)
         appended = f.read()
