@@ -21,4 +21,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def repo_module(name):
+    """Import repo-root module `name` by explicit path, order-proof.
+
+    Both this repo and /root/reference ship same-named root scripts
+    (benchmark_plot.py, test_video.py, ...); interop fixtures put the
+    reference tree on sys.path, so a bare `import benchmark_plot` in a
+    test that runs AFTER them resolves (and caches) the wrong file.
+    """
+    import importlib.util
+
+    path = os.path.join(REPO_ROOT, name + ".py")
+    mod = sys.modules.get(name)
+    if mod is not None and os.path.abspath(
+            getattr(mod, "__file__", "") or "") == path:
+        return mod
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

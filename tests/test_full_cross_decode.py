@@ -122,7 +122,7 @@ def twins():
         pytest.skip("reference tree not mounted")
     _stub_msssim()
     if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+        sys.path.append(REFERENCE)
     import jax
     import jax.numpy as jnp
     import torch

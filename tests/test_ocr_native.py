@@ -93,7 +93,8 @@ def test_save_load_round_trip(tmp_path):
 
 
 def test_build_ocr_picks_native_backend(tmp_path, monkeypatch):
-    import benchmark_plot
+    from conftest import repo_module
+    benchmark_plot = repo_module("benchmark_plot")
 
     path = str(tmp_path / "plate_ocr.npz")
     PlateOCRNative.init_random(0).save(path)

@@ -51,7 +51,7 @@ def reference_modules():
         pytest.skip("reference tree not mounted")
     _stub_msssim()
     if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+        sys.path.append(REFERENCE)
     from DCVC_HEM.src.models.image_model import IntraNoAR as TorchIntra
     from DCVC_HEM.src.models.video_model import DMC as TorchDMC
     return TorchDMC, TorchIntra

@@ -204,7 +204,8 @@ def test_detect_padded_and_benchmark_plot_backend(tmp_path):
     assert (boxes[:, [0, 2]] >= 0).all() and (boxes[:, [0, 2]] <= 70).all()
     assert (boxes[:, [1, 3]] >= 0).all() and (boxes[:, [1, 3]] <= 40).all()
 
-    import benchmark_plot as bp
+    from conftest import repo_module
+    bp = repo_module("benchmark_plot")
     adapter = bp.build_yolo(str(path))  # .npz named directly
     out = adapter(frame, labels_start_index=1)
     assert set(out) == {"boxes", "labels", "scores"}
