@@ -169,7 +169,7 @@ def encode_decode_dcvc(frames_dir, image_model_weights, video_model_weights,
                             1.0, 1.0, method="init_all")
     if video_model_weights.endswith(".pth"):
         p_params = import_state_dict(
-            p_params, load_torch_state_dict(video_model_weights), strict=False)
+            p_params, load_torch_state_dict(video_model_weights), strict="cover")
         y_q, mv_q = get_q_scales_from_ckpt(video_model_weights)
     else:
         from ..train.checkpoint import CheckPointer
@@ -416,7 +416,7 @@ def load_intra_codec(image_model_weights, rate_count=6, update=True):
     if image_model_weights and image_model_weights.endswith(".pth"):
         i_params = import_state_dict(
             i_params, load_torch_state_dict(image_model_weights),
-            strict=False)
+            strict="cover")
         i_q = get_i_frame_q_scales_from_ckpt(image_model_weights)
     elif image_model_weights:
         from ..train.checkpoint import CheckPointer

@@ -187,16 +187,16 @@ def _crop_resize(img, boxes, size):
 
     h, w = img.shape[:2]
     crops = np.zeros((len(boxes), size, size, 3), np.float32)
+    # facenet_pytorch pad(): trunc (not round), clamp to [1, w/h], then
+    # resize the VISIBLE clamped region — a box past the frame edge is
+    # stretched from its visible pixels, never embedded in zero padding
     for i, (x1, y1, x2, y2) in enumerate(
-            boxes[:, :4].round().astype(np.int64)):
-        sx1, sy1, sx2, sy2 = x1 - 1, y1 - 1, x2, y2  # 0-indexed, exclusive
-        cx1, cy1 = max(sx1, 0), max(sy1, 0)
-        cx2, cy2 = min(sx2, w), min(sy2, h)
-        if cx2 <= cx1 or cy2 <= cy1:
-            continue
-        patch = np.zeros((sy2 - sy1, sx2 - sx1, 3), img.dtype)
-        patch[cy1 - sy1:cy2 - sy1, cx1 - sx1:cx2 - sx1] = \
-            img[cy1:cy2, cx1:cx2]
+            np.trunc(boxes[:, :4]).astype(np.int64)):
+        x1, y1 = max(x1, 1), max(y1, 1)
+        x2, y2 = min(x2, w), min(y2, h)
+        if x2 < x1 or y2 < y1:
+            continue  # nothing visible: zero crop (scored, thresholds cull)
+        patch = img[y1 - 1:y2, x1 - 1:x2]
         crops[i] = cv.resize(patch.astype(np.float32), (size, size),
                              interpolation=cv.INTER_AREA)
     return crops
@@ -245,7 +245,7 @@ class MTCNNNativeDetector:
             sd = {k[len(net) + 1:]: data[k] for k in data.files
                   if k.startswith(net + ".")}
             det.params[net] = import_state_dict(det.params[net], sd,
-                                                strict=False)
+                                                strict="cover")
         return det
 
     def _run(self, net_name, x):
@@ -301,7 +301,16 @@ class MTCNNNativeDetector:
         boxes = np.concatenate(total, 0)
         keep = nms_mtcnn(boxes[:, :4], boxes[:, 4], 0.7)
         boxes = boxes[keep]
-        boxes = rerec(bbreg(boxes[:, :5], boxes[:, 5:9]))
+        # stage-1 regression uses the RAW extent (no +1), unlike bbreg in
+        # stages 2/3 — facenet_pytorch detect_face qq1..qq4
+        regw = boxes[:, 2] - boxes[:, 0]
+        regh = boxes[:, 3] - boxes[:, 1]
+        q = boxes[:, :5].copy()
+        q[:, 0] += boxes[:, 5] * regw
+        q[:, 1] += boxes[:, 6] * regh
+        q[:, 2] += boxes[:, 7] * regw
+        q[:, 3] += boxes[:, 8] * regh
+        boxes = rerec(q)
 
         # stage 2: RNet on 24x24 crops
         crops = _norm(_crop_resize(img, boxes, 24))

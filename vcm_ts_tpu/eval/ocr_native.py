@@ -183,7 +183,11 @@ class PlateOCRNative:
         np.savez(npz_path, **flat)
 
     def recognize_crops(self, crops: list[np.ndarray]) -> list[str]:
-        """uint8 gray crops -> decoded strings (one jit per width bucket)."""
+        """uint8 gray crops -> decoded strings.
+
+        Batches are zero-padded to the next power of two so the jit
+        specializes per (pow2-batch, width-bucket), not per exact crop
+        count — same static-shape discipline as rcnn/mtcnn_native."""
         if not crops:
             return []
         pre = [preprocess_crop(c) for c in crops]
@@ -192,9 +196,13 @@ class PlateOCRNative:
         for i, p in enumerate(pre):
             by_w.setdefault(p.shape[1], []).append(i)
         for w, idxs in by_w.items():
-            batch = np.stack([pre[i] for i in idxs])
-            logits = self._jit(self.params, batch)
-            for i, text in zip(idxs, ctc_greedy_decode(np.asarray(logits))):
+            n = len(idxs)
+            m = 1 << (n - 1).bit_length()
+            batch = np.zeros((m,) + pre[idxs[0]].shape, np.float32)
+            for j, i in enumerate(idxs):
+                batch[j] = pre[i]
+            logits = np.asarray(self._jit(self.params, batch))[:n]
+            for i, text in zip(idxs, ctc_greedy_decode(logits)):
                 out[i] = text
         return out
 

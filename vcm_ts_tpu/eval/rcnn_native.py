@@ -151,8 +151,11 @@ def roi_align(feat, rois, spatial_scale, out=7, ratio=2):
     H, W = feat.shape[:2]
     r = rois * spatial_scale
     x1, y1 = r[:, 0], r[:, 1]
-    bw = (r[:, 2] - x1) / out
-    bh = (r[:, 3] - y1) / out
+    # aligned=False clamps roi extents to >= 1 feature unit before
+    # binning (torchvision roi_align_common.h) — sub-unit proposals
+    # otherwise sample a different grid than the weights were trained on
+    bw = np.maximum(r[:, 2] - x1, 1.0) / out
+    bh = np.maximum(r[:, 3] - y1, 1.0) / out
     g = (np.arange(out * ratio, dtype=np.float32) + 0.5) / ratio  # bin units
     xs = x1[:, None] + g[None] * bw[:, None]   # (N, out*ratio)
     ys = y1[:, None] + g[None] * bh[:, None]
@@ -320,15 +323,25 @@ class FasterRCNNNativeDetector:
             elif k.startswith("roi_heads.box_predictor."):
                 box_sd[".".join(k.split(".")[2:])] = v
 
+        def _imp(name, sub_sd):
+            """Per-subtree all-or-nothing: a non-empty subtree must cover
+            every flax param (a renamed torchvision key surfaces as a
+            load error, not silent random init); a fully absent subtree
+            (heads-only test fixtures) warns and stays at init."""
+            if not sub_sd:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "load_pth: no '%s' keys in checkpoint; subtree left "
+                    "at random init", name)
+                return det.params[name]
+            return import_state_dict(det.params[name], sub_sd,
+                                     strict="cover")
+
         det.params = {
-            "body": import_state_dict(det.params["body"], body_sd,
-                                      strict=False),
-            "fpn": import_state_dict(det.params["fpn"], fpn_sd,
-                                     strict=False),
-            "rpn": import_state_dict(det.params["rpn"], rpn_sd,
-                                     strict=False),
-            "box": import_state_dict(det.params["box"], box_sd,
-                                     strict=False),
+            "body": _imp("body", body_sd),
+            "fpn": _imp("fpn", fpn_sd),
+            "rpn": _imp("rpn", rpn_sd),
+            "box": _imp("box", box_sd),
         }
         return det
 
@@ -421,27 +434,33 @@ class FasterRCNNNativeDetector:
         # multi-scale RoIAlign over levels 0-3, batched through the jitted
         # box head with the roi count padded to a power of two
         lvl = map_levels(rois)
-        crops = np.zeros((rois.shape[0], 7, 7, 256), np.float32)
         order = []
         chunks = []
         for li in range(4):
             sel = np.where(lvl == li)[0]
             if sel.size == 0:
                 continue
-            chunks.append(np.asarray(roi_align(
-                levels[li][0], rois[sel], 1.0 / STRIDES[li])))
+            # stays on device: the level-sorted crops feed the box head
+            # directly, and only the small per-roi outputs come to host
+            chunks.append(roi_align(
+                levels[li][0], rois[sel], 1.0 / STRIDES[li]))
             order.append(sel)
         order = np.concatenate(order, 0)
-        crops[order] = np.concatenate(chunks, 0)
 
-        n = crops.shape[0]
+        n = rois.shape[0]
         m = _pow2(n)
+        crops = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
         if m != n:
-            crops = np.concatenate(
-                [crops, np.zeros((m - n, 7, 7, 256), np.float32)], 0)
-        scores, deltas = self._box_fwd()(p["box"], jnp.asarray(crops))
-        scores = np.asarray(scores)[:n]
-        deltas = np.asarray(deltas)[:n].reshape(n, -1, 4)
+            crops = jnp.concatenate(
+                [crops, jnp.zeros((m - n, 7, 7, 256), crops.dtype)], 0)
+        scores, deltas = self._box_fwd()(p["box"], crops)
+        # row j of the (level-sorted) outputs belongs to roi order[j]
+        scores_s = np.asarray(scores)[:n]
+        deltas_s = np.asarray(deltas)[:n].reshape(n, -1, 4)
+        scores = np.empty_like(scores_s)
+        deltas = np.empty_like(deltas_s)
+        scores[order] = scores_s
+        deltas[order] = deltas_s
 
         out_boxes, out_scores, out_labels = [], [], []
         for cls in range(1, c["num_classes"]):  # skip background 0

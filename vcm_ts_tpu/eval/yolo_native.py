@@ -112,7 +112,7 @@ def letterbox(img: np.ndarray, imgsz: int = 640, pad_value: int = 114):
     return canvas.astype(np.float32) / 255.0, r, (left, top)
 
 
-def nms(boxes: np.ndarray, scores: np.ndarray, iou_thres: float = 0.45,
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_thres: float = 0.7,
         max_det: int = 300) -> np.ndarray:
     """Greedy IoU NMS; returns kept indices sorted by descending score."""
     order = np.argsort(scores)[::-1]
@@ -189,9 +189,9 @@ class YOLOv8NativeDetector:
         # dfl.conv.weight is the constant arange kernel — not a parameter
         head_sd = {k: v for k, v in head_sd.items()
                    if not k.startswith("dfl.")}
-        det.bb_params = import_state_dict(det.bb_params, bb_sd, strict=False)
+        det.bb_params = import_state_dict(det.bb_params, bb_sd, strict="cover")
         det.head_params = import_state_dict(det.head_params, head_sd,
-                                            strict=False)
+                                            strict="cover")
         return det
 
     # -- inference -----------------------------------------------------------
@@ -213,7 +213,7 @@ class YOLOv8NativeDetector:
         return self._forward()(self.bb_params, self.head_params, x_nhwc)
 
     def detect(self, frame_rgb_uint8: np.ndarray, conf: float = 0.25,
-               iou: float = 0.45, max_det: int = 300):
+               iou: float = 0.7, max_det: int = 300):
         """Full single-image detection: letterbox -> jitted forward ->
         confidence filter -> class-aware NMS -> boxes mapped back to the
         original frame. Returns (boxes xyxy float (K,4), scores (K,),
@@ -245,7 +245,7 @@ class YOLOv8NativeDetector:
 
 
     def detect_padded(self, frame_rgb_uint8: np.ndarray, conf: float = 0.25,
-                      iou: float = 0.45, max_det: int = 300):
+                      iou: float = 0.7, max_det: int = 300):
         """Full-resolution detection at the frame's own size, padded to a
         /32 multiple (benchmark_plot.py's YOLO protocol — no letterbox
         rescale). One jit specialization per distinct padded size."""

@@ -113,8 +113,11 @@ def constrain_tp(tree, mesh: Mesh, axis: str = "model"):
 
 
 def replicate(tree, mesh: Mesh):
-    sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), tree)
+    # delegate: mesh.replicate's _private_put never aliases the source
+    # buffers, so the result is safe to hand to the donating train steps
+    from . import mesh as _mesh
+
+    return _mesh.replicate(tree, mesh)
 
 
 def tp_forward(model, mesh: Mesh, is_first_p: bool = False):

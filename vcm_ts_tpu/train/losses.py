@@ -233,7 +233,7 @@ def get_perceptual_loss(cfg) -> Optional[callable]:
                   if k.startswith("backbone.")}
             if kind == "resnet":
                 sd = {k: v for k, v in sd.items() if k.startswith("body.")}
-            params = import_state_dict(params, sd, strict=False)
+            params = import_state_dict(params, sd, strict="cover")
         else:
             logger.warning(
                 "Perceptual-loss weights '%s' not found; using random "

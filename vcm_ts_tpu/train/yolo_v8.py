@@ -196,4 +196,4 @@ def import_yolo_weights(params, weights_path: str):
     sd = {f"model.{k[len('model.'):]}" if k.startswith("model.") else k:
           v.detach().cpu().numpy() for k, v in sd.items()
           if not k.startswith("model.22.")}  # drop the Detect head
-    return import_state_dict(params, sd, strict=False)
+    return import_state_dict(params, sd, strict="cover")

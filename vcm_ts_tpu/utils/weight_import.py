@@ -85,10 +85,14 @@ _LEAF_MAP = {"weight": "kernel", "bias": "bias"}
 
 
 def import_state_dict(flax_params: dict, state_dict: Dict[str, np.ndarray],
-                      strict: bool = True) -> dict:
+                      strict=True) -> dict:
     """Returns a new params tree with imported values.
 
     flax_params: {"params": {...}} template (shapes/dtypes/structure).
+    strict: True = error on unmatched torch keys AND uncovered flax
+    params; "cover" = tolerate stray torch keys (aux heads, renamed
+    extras) but still error if any flax param was left at init — the
+    direction that silently poisons eval numbers; False = no checks.
     """
     import jax
 
@@ -114,7 +118,7 @@ def import_state_dict(flax_params: dict, state_dict: Dict[str, np.ndarray],
                 continue
         flat[tuple(path)] = _convert_leaf(tkey, path[-1], value, np.asarray(node))
 
-    if strict and missing:
+    if strict is True and missing:
         raise KeyError(f"unmatched torch keys: {missing[:10]}"
                        f"{' ...' if len(missing) > 10 else ''}")
 
@@ -126,7 +130,7 @@ def import_state_dict(flax_params: dict, state_dict: Dict[str, np.ndarray],
     new_inner = rebuild(inner, ())
     imported = {tuple(p) for p in flat}
 
-    if strict:
+    if strict in (True, "cover"):
         # every template leaf must have been covered
         uncovered = []
 
