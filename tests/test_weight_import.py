@@ -212,3 +212,184 @@ def test_export_import_round_trip():
             jax.tree_util.tree_flatten_with_path(back)[0][:20]):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _write_ultralytics_style_ckpt(path):
+    """torch.save a checkpoint whose pickle references ultralytics-style
+    classes, WITHOUT ultralytics installed: fake modules are registered in
+    sys.modules just long enough for pickling (pickle's save_global
+    verifies importability at save time)."""
+    import sys
+    import types
+
+    fake_tasks = types.ModuleType("ultralytics.nn.tasks")
+
+    class DetectionModel(nn.Module):
+        pass
+
+    DetectionModel.__module__ = "ultralytics.nn.tasks"
+    DetectionModel.__qualname__ = "DetectionModel"
+    fake_tasks.DetectionModel = DetectionModel
+
+    fake_conv = types.ModuleType("ultralytics.nn.modules.conv")
+
+    class Conv(nn.Module):
+        def __init__(self, c1=3, c2=8):
+            super().__init__()
+            self.conv = nn.Conv2d(c1, c2, 3, padding=1, bias=False)
+            self.bn = nn.BatchNorm2d(c2)
+
+    Conv.__module__ = "ultralytics.nn.modules.conv"
+    Conv.__qualname__ = "Conv"
+    fake_conv.Conv = Conv
+
+    model = DetectionModel()
+    seq = nn.Sequential(Conv(3, 8), Conv(8, 16))
+    model.add_module("model", seq)
+    # a non-tensor ultralytics object in the ckpt dict, like train_args
+    fake_cfg = types.ModuleType("ultralytics.cfg")
+
+    class IterableSimpleNamespace:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    IterableSimpleNamespace.__module__ = "ultralytics.cfg"
+    IterableSimpleNamespace.__qualname__ = "IterableSimpleNamespace"
+    fake_cfg.IterableSimpleNamespace = IterableSimpleNamespace
+
+    mods = {"ultralytics": types.ModuleType("ultralytics"),
+            "ultralytics.nn": types.ModuleType("ultralytics.nn"),
+            "ultralytics.nn.tasks": fake_tasks,
+            "ultralytics.nn.modules": types.ModuleType(
+                "ultralytics.nn.modules"),
+            "ultralytics.nn.modules.conv": fake_conv,
+            "ultralytics.cfg": fake_cfg}
+    mods["ultralytics"].nn = mods["ultralytics.nn"]
+    sys.modules.update(mods)
+    try:
+        torch.save({"model": model,
+                    "train_args": IterableSimpleNamespace(imgsz=640),
+                    "epoch": 3}, path)
+        expect = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    finally:
+        for k in mods:
+            sys.modules.pop(k, None)
+    return expect
+
+
+def test_weights_only_unpickler_without_ultralytics(tmp_path):
+    """VERDICT r4 next-step 7: yolov8m.pt-style checkpoints must load with
+    no ultralytics importable. The load runs in a subprocess so no fake
+    sys.modules entries can leak in and cheat."""
+    import subprocess
+    import sys
+
+    pt = os.path.join(tmp_path, "fake_yolo.pt")
+    expect = _write_ultralytics_style_ckpt(pt)
+    out_npz = os.path.join(tmp_path, "out.npz")
+    code = f"""
+import sys
+assert "ultralytics" not in sys.modules
+import numpy as np
+from vcm_ts_tpu.utils.weight_import import (
+    extract_module_state_dict, load_torch_pickle_weights_only)
+try:
+    import ultralytics  # noqa: F401
+    raise SystemExit("ultralytics importable - test proves nothing")
+except ImportError:
+    pass
+ckpt = load_torch_pickle_weights_only({pt!r})
+assert ckpt["epoch"] == 3
+assert type(ckpt["model"]).__name__ == "DetectionModel"
+assert ckpt["train_args"].__dict__.get("imgsz") == 640
+sd = extract_module_state_dict(ckpt["model"])
+np.savez({out_npz!r}, **sd)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-4000:]
+    got = dict(np.load(out_npz))
+    assert set(got) == set(expect), (sorted(got)[:5], sorted(expect)[:5])
+    for k in expect:
+        np.testing.assert_array_equal(got[k], expect[k])
+
+
+def test_import_yolo_weights_via_shim(tmp_path, monkeypatch):
+    """import_yolo_weights end-to-end on a shim-loaded checkpoint: a tiny
+    torch twin of the Flax YOLOv8 backbone's first layer family, saved
+    under ultralytics-style class names, must land in the Flax params."""
+    import sys
+    import types
+
+    from vcm_ts_tpu.train.yolo_v8 import YOLOv8Backbone
+    from vcm_ts_tpu.utils.weight_import import (
+        extract_module_state_dict, import_state_dict,
+        load_torch_pickle_weights_only)
+
+    # full-size torch twin is heavy; instead verify the mechanical chain:
+    # shim-load -> extract -> import_state_dict covers a sub-tree template.
+    fake_tasks = types.ModuleType("ultralytics.nn.tasks")
+
+    class DetectionModel(nn.Module):
+        pass
+
+    DetectionModel.__module__ = "ultralytics.nn.tasks"
+    DetectionModel.__qualname__ = "DetectionModel"
+    fake_tasks.DetectionModel = DetectionModel
+    mods = {"ultralytics": types.ModuleType("ultralytics"),
+            "ultralytics.nn": types.ModuleType("ultralytics.nn"),
+            "ultralytics.nn.tasks": fake_tasks}
+    sys.modules.update(mods)
+    try:
+        tm = DetectionModel()
+        inner = nn.Sequential()
+        conv0 = nn.Module()
+        conv0.add_module("conv", nn.Conv2d(3, 4, 3, stride=2,
+                                           padding=1, bias=False))
+        bn = nn.BatchNorm2d(4, eps=1e-3)
+        bn.weight.data.uniform_(0.5, 1.5)
+        bn.bias.data.uniform_(-0.5, 0.5)
+        bn.running_mean.uniform_(-0.1, 0.1)
+        bn.running_var.uniform_(0.8, 1.2)
+        conv0.add_module("bn", bn)
+        inner.add_module("0", conv0)
+        tm.add_module("model", inner)
+        pt = os.path.join(tmp_path, "tiny.pt")
+        torch.save({"model": tm}, pt)
+    finally:
+        for k in mods:
+            sys.modules.pop(k, None)
+
+    ckpt = load_torch_pickle_weights_only(pt)
+    sd = {k: v for k, v in extract_module_state_dict(ckpt["model"]).items()
+          if not k.endswith("num_batches_tracked")}
+    assert "model.0.conv.weight" in sd
+
+    import flax.linen as fnn
+
+    class TinyFlax(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            from vcm_ts_tpu.train.yolo_v8 import ConvBnSiLU
+            return ConvBnSiLU(4, 3, 2, name="model.0")(x)
+
+    fm = TinyFlax()
+    params = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    imported = import_state_dict(params, sd, strict="cover")
+    k = np.asarray(
+        jax.tree_util.tree_leaves_with_path(imported)[0][1])
+    assert np.isfinite(k).all()
+    # torch twin forward parity
+    x = np.random.default_rng(0).random((1, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        tm.eval()
+        ty = torch.nn.functional.silu(
+            bn(conv0.conv(torch.from_numpy(x.transpose(0, 3, 1, 2)))))
+    fy = fm.apply(imported, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fy),
+                               ty.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-5, atol=2e-5)

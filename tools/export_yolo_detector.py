@@ -1,9 +1,11 @@
 """Export an ultralytics YOLOv8 .pt checkpoint to a torch-free .npz for
 the native detector (vcm_ts_tpu/eval/yolo_native.py).
 
-This is the ONLY step that needs the ultralytics package (its .pt pickles
-reference ultralytics classes — the same gate the reference hits at
-video_coder.py:261). Run it once wherever ultralytics exists:
+The .pt pickle references ultralytics classes (the same gate the
+reference hits at video_coder.py:261), but this tool no longer needs the
+package: utils/weight_import.load_torch_pickle_weights_only maps those
+refs to opaque stand-ins and keeps the tensors. If the shim ever fails on
+an exotic checkpoint, the ultralytics loader is the fallback.
 
     python tools/export_yolo_detector.py --pt pretrained/yolov8-lp.pt \
         --out pretrained/yolov8-lp.npz
@@ -39,16 +41,28 @@ def infer_meta(sd) -> dict:
 
 
 def export(pt_path: str, out_path: str) -> dict:
-    try:
-        from ultralytics import YOLO
-    except ImportError as e:
-        raise SystemExit(
-            f"ultralytics is required to DESERIALIZE {pt_path} ({e}); "
-            f"run this tool on a machine that has it — the resulting .npz "
-            f"loads torch-free") from e
+    import os
 
-    sd = {k: v.detach().cpu().numpy()
-          for k, v in YOLO(pt_path).model.state_dict().items()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from vcm_ts_tpu.utils.weight_import import (
+        extract_module_state_dict, load_torch_pickle_weights_only)
+
+    try:
+        ckpt = load_torch_pickle_weights_only(pt_path)
+        model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        sd = extract_module_state_dict(model)
+    except Exception:
+        # fallback: ultralytics' own loader
+        try:
+            from ultralytics import YOLO
+        except ImportError as e:
+            raise SystemExit(
+                f"failed to shim-deserialize {pt_path} and ultralytics is "
+                f"not importable either ({e})") from e
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in YOLO(pt_path).model.state_dict().items()}
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
           if not k.endswith("num_batches_tracked")}
     meta = infer_meta(sd)
     np.savez(out_path, __meta__=json.dumps(meta), **sd)

@@ -11,9 +11,10 @@ The graph is re-implemented from the public yolov8 architecture
 upsample + concat neck) at the m scale (depth 0.67, width 0.75,
 max_channels 768). Children are named with ultralytics state-dict segments
 ("0".."21", cv1/cv2/m.N/conv/bn), so `import_yolo_weights` is a mechanical
-pass through utils/weight_import — deserializing pretrained/yolov8m.pt
-itself requires the ultralytics package (its pickle references ultralytics
-classes), hence the gate in losses.get_perceptual_loss.
+pass through utils/weight_import. Deserializing pretrained/yolov8m.pt no
+longer needs the ultralytics package: a weights-only shim unpickler
+(utils/weight_import.load_torch_pickle_weights_only) maps its ultralytics
+class refs to opaque stand-ins and keeps the tensors.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..codec.bitstream import get_padding_size
@@ -182,18 +184,34 @@ class YOLOV8PerceptualLoss(nn.Module):
 
 
 def import_yolo_weights(params, weights_path: str):
-    """Import pretrained/yolov8m.pt (requires ultralytics to deserialize)."""
+    """Import pretrained/yolov8m.pt without needing ultralytics.
+
+    The reference's load (core/engine/losses.py:168-176) requires the
+    ultralytics package to even unpickle the checkpoint; here a shim
+    unpickler (utils/weight_import.load_torch_pickle_weights_only) maps
+    ultralytics class refs to opaque attribute bags and keeps the
+    tensors, so the PL backbone runs with real weights in
+    ultralytics-free environments. If ultralytics *is* importable, its
+    loader is used as a cross-check-compatible fallback path.
+    """
+    from ..utils.weight_import import (extract_module_state_dict,
+                                       import_state_dict,
+                                       load_torch_pickle_weights_only)
+
     try:
+        ckpt = load_torch_pickle_weights_only(weights_path)
+        model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        if hasattr(model, "model") and not hasattr(model, "__dict__"):
+            model = model.model
+        sd = extract_module_state_dict(model)
+    except Exception:
+        # fallback: the ultralytics loader (original path)
         from ultralytics import YOLO
-    except ImportError as e:
-        raise RuntimeError(
-            "loading yolov8m.pt requires the ultralytics package") from e
-    import numpy as np
-
-    from ..utils.weight_import import import_state_dict
-
-    sd = YOLO(weights_path).model.state_dict()
-    sd = {f"model.{k[len('model.'):]}" if k.startswith("model.") else k:
-          v.detach().cpu().numpy() for k, v in sd.items()
-          if not k.startswith("model.22.")}  # drop the Detect head
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in YOLO(weights_path).model.state_dict().items()}
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
+          if not k.startswith("model.22.")  # drop the Detect head
+          and not k.endswith("num_batches_tracked")}
+    if not sd:
+        raise RuntimeError(f"no tensors recovered from {weights_path}")
     return import_state_dict(params, sd, strict="cover")

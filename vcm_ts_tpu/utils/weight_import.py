@@ -38,6 +38,111 @@ def load_torch_state_dict(ckpt_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+_SAFE_PICKLE_PREFIXES = (
+    "torch.", "collections.", "builtins.", "copyreg.", "numpy.", "numpy",
+    "__builtin__.",
+)
+
+
+class _Opaque:
+    """Stand-in for a class the pickle references but we don't have.
+
+    Accepts every pickle construction protocol (REDUCE args, NEWOBJ,
+    BUILD with dict or (dict, slots) state) and just keeps the state on
+    __dict__ so the module tree can be walked afterwards.
+    """
+
+    def __init__(self, *args, **kwargs):
+        self._ctor_args = args
+        self._ctor_kwargs = kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple) and len(state) == 2:
+            d, slots = state
+            state = dict(d or {})
+            state.update(slots or {})
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    # some reduces call the "class" as a factory function
+    def __call__(self, *args, **kwargs):
+        return _Opaque()
+
+
+def _make_opaque(module: str, name: str):
+    cls = type(name, (_Opaque,), {"__module__": module})
+    return cls
+
+
+def load_torch_pickle_weights_only(path: str):
+    """Deserialize a torch .pt/.pth whose pickle references third-party
+    classes (e.g. ultralytics.nn.tasks.DetectionModel) WITHOUT those
+    packages installed (reference load site:
+    /root/reference/core/engine/losses.py:168-176, which needs the
+    ultralytics graph importable just to unpickle yolov8m.pt).
+
+    Mechanism: torch.load with a shim pickle module whose find_class
+    returns the real class for torch/stdlib/numpy names (so tensor
+    rebuilding uses torch's own machinery) and a generated _Opaque
+    stand-in for everything else. Tensors come out real; the surrounding
+    model objects come out as opaque attribute bags that
+    extract_module_state_dict() can walk.
+
+    This removes the *dependency*, not the trust decision: torch
+    callables are still reachable from the pickle, so only load files you
+    would have passed to torch.load anyway.
+    """
+    import importlib
+    import io
+    import pickle
+
+    class _ShimUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "__builtin__":  # py2-era refs in old checkpoints
+                module = "builtins"
+            qual = module + "." + name
+            if module == "collections" or any(
+                    qual.startswith(p) or module == p
+                    for p in _SAFE_PICKLE_PREFIXES):
+                mod = importlib.import_module(module)
+                return getattr(mod, name)
+            return _make_opaque(module, name)
+
+    class _ShimPickleModule:
+        Unpickler = _ShimUnpickler
+        load = staticmethod(pickle.load)
+        # torch.serialization probes these
+        __name__ = "vcm_ts_tpu_shim_pickle"
+
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_ShimPickleModule)
+
+
+def extract_module_state_dict(obj, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flatten an unpickled (possibly _Opaque) nn.Module tree to a
+    {dotted_name: numpy array} state dict, mirroring
+    torch.nn.Module.state_dict() naming: _parameters and _buffers at each
+    level, recursing through _modules."""
+    out: Dict[str, np.ndarray] = {}
+    d = getattr(obj, "__dict__", None)
+    if d is None:
+        return out
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p.detach().cpu().numpy()
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = b.detach().cpu().numpy()
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            out.update(extract_module_state_dict(child, prefix + name + "."))
+    return out
+
+
 def _convert_leaf(torch_key: str, leaf_name: str, value: np.ndarray,
                   template: np.ndarray) -> np.ndarray:
     if leaf_name == "kernel":
