@@ -169,12 +169,16 @@ class YOLOv8NativeDetector:
         return self
 
     @classmethod
-    def load(cls, npz_path: str, imgsz: int = 640):
-        """Load a tools/export_yolo_detector.py .npz (torch-free)."""
+    def load(cls, npz_path: str, imgsz: int | None = None):
+        """Load a tools/export_yolo_detector.py or
+        tools/train_plate_detector.py .npz (torch-free). imgsz resolution:
+        explicit arg > meta record > 640."""
         from ..utils.weight_import import import_state_dict
 
         data = np.load(npz_path)
         meta = json.loads(str(data["__meta__"]))
+        if imgsz is None:
+            imgsz = int(meta.get("imgsz", 640))
         det = cls(nc=meta["nc"], width=meta["width"], depth=meta["depth"],
                   max_channels=meta["max_channels"],
                   reg_max=meta["reg_max"], imgsz=imgsz).init()
