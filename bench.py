@@ -43,6 +43,18 @@ def _emit(obj) -> None:
     print(json.dumps(obj))
 
 
+def _median_of(fn, n: int):
+    """(median, min, max) of n timed runs of fn.
+
+    VERDICT r4 weak #7: session-to-session tunnel variance was measured
+    at up to ~30% (PERF.md), and single-shot driver artifacts inherited
+    it (r03's artifact was lost to one bad run). Each run re-enters fn
+    fully warmed (first call compiled the stages), so the dispersion
+    here IS the tunnel/runtime noise, not compile noise."""
+    vals = sorted(fn() for _ in range(max(1, n)))
+    return vals[len(vals) // 2], vals[0], vals[-1]
+
+
 # Chip-priority sentinel: while a TPU bench run is active this pidfile
 # exists, and tools/tpu_watch.py preempts (SIGTERM + requeue) whatever
 # chip job it is running so the bench gets the chip to itself within a
@@ -278,8 +290,9 @@ def main():
                "vs_baseline": round(fps / NORTH_STAR_FPS, 4)})
         return
 
-    # --- estimation mode (headline) ---
-    est_fps = bench_estimation(ctx)
+    # --- estimation mode (headline): median of --runs (default 3) ---
+    est_fps, est_min, est_max = _median_of(lambda: bench_estimation(ctx),
+                                           args.runs)
     result = {
         "metric": f"{size_tag} P-frame enc+dec fps/chip "
                   f"({args.dtype}"
@@ -290,20 +303,30 @@ def main():
         "value": round(est_fps, 3),
         "unit": "fps",
         "vs_baseline": round(est_fps / NORTH_STAR_FPS, 4),
+        "runs": max(1, args.runs),
+        "min_fps": round(est_min, 3),
+        "max_fps": round(est_max, 3),
     }
     if args.estimate_only or ns > 1 or args.fast_warp or args.fast_shuffle:
         _emit(result)
         return
 
-    # --- suite: add the real-bitstream modes as extra keys (one line) ---
+    # --- suite: add the real-bitstream modes as extra keys (one line),
+    # each a median-of-runs with dispersion ---
+    def _suite(key, fn):
+        med, lo, hi = _median_of(fn, args.runs)
+        result[key] = round(med, 3)
+        result[key + "_min"] = round(lo, 3)
+        result[key + "_max"] = round(hi, 3)
+
     try:
-        result["pipelined_encode_fps"] = round(bench_pipelined_encode(ctx), 3)
-        result["pipelined_decode_fps"] = round(bench_pipelined_decode(ctx), 3)
+        _suite("pipelined_encode_fps", lambda: bench_pipelined_encode(ctx))
+        _suite("pipelined_decode_fps", lambda: bench_pipelined_decode(ctx))
         ctx2 = dict(ctx)
         ctx2["frames"] = [jnp.concatenate([f, f], axis=0) for f in frames]
         ctx2["dpb"] = make_dpb(ctx2["frames"][0])
-        fps2 = bench_batched_write(ctx2)
-        result["write_stream_2x_aggregate_fps"] = round(fps2, 3)
+        _suite("write_stream_2x_aggregate_fps",
+               lambda: bench_batched_write(ctx2))
         # both operating points in one artifact: until the bf16 BD gate on
         # trained weights settles the dtype policy (PERF.md round 3/4), the
         # suite records the f32 estimation fps alongside the bf16 headline

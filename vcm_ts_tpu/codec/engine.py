@@ -50,6 +50,65 @@ class _FleetShardingMixin:
     """
 
     _batch_sharding = None
+    _sp_act = None
+    _sp_rep = None
+    _sp_n = 1
+
+    def set_spatial_sharding(self, mesh, axis: str = "spatial"):
+        """Enable H-sharded device stages for the REAL-BITSTREAM path —
+        the multi-chip 4K answer (PERF.md "4K is the SP use case").
+
+        Fleet sharding scales N independent streams over a mesh; this
+        scales ONE stream: every activation/symbol plane uploads H-sharded
+        (NHWC axis 1), params replicate, and GSPMD partitions the same
+        stage programs with conv halo exchanges over ICI. Host rANS is
+        unchanged — symbol planes are gathered to host exactly as in the
+        single-device path.
+
+        Guarantees (tests/test_engine_spatial.py, virtual mesh):
+        - WITHIN-mode: encoder and decoder share the same compiled
+          partitioned stage programs, so chained encode/decode stays in
+          bit-exact lockstep — the same property the single-device
+          engine has.
+        - CROSS-mode: from identical DPB state the SP engine writes
+          byte-identical streams (the u8 scale-index quantization
+          absorbs cross-program ULP drift) and decodes single-device
+          streams; recon parity across modes is drift-bounded (~1e-3 on
+          isolated pixels), not bitwise — two differently-partitioned
+          XLA programs may round differently, exactly as the reference's
+          torch kernels may across GPU algorithm choices. Consequently
+          chained P-frame streams drift apart across modes (each chain
+          stays self-consistent); decode a chain in the mode that
+          encoded it, or rekey at GOP boundaries when switching.
+
+        Mutually exclusive with set_fleet_sharding (fleet shards the
+        batch axis of the same uploads).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert self._batch_sharding is None, \
+            "spatial and fleet sharding are mutually exclusive"
+        self._sp_act = NamedSharding(mesh, PartitionSpec(None, axis))
+        self._sp_rep = NamedSharding(mesh, PartitionSpec())
+        self._sp_n = mesh.shape[axis]
+        # params replicate onto the mesh once; all stage jits pick the
+        # committed shardings up from their inputs
+        self.params = jax.device_put(self.params, self._sp_rep)
+        return self._sp_act
+
+    def spatial_shard_tree(self, tree):
+        """Upload a pytree of NHWC planes (frame x, DPB) H-sharded;
+        planes whose H doesn't tile the mesh replicate instead (GSPMD
+        reshards internally as needed). No-op without spatial mode."""
+        if self._sp_act is None:
+            return tree
+        return jax.tree_util.tree_map(self._sp_put_leaf, tree)
+
+    def _sp_put_leaf(self, v):
+        if (getattr(v, "ndim", 0) == 4
+                and v.shape[1] % self._sp_n == 0 and v.shape[1] > 1):
+            return jax.device_put(v, self._sp_act)
+        return jax.device_put(v, self._sp_rep)
 
     def set_fleet_sharding(self, mesh, axis: str = "data"):
         """Enable fleet serving over `mesh`. After calling this, pass
@@ -75,9 +134,12 @@ class _FleetShardingMixin:
                        else jnp.asarray(v)), tree)
 
     def _put(self, a):
-        """Upload a batched host array, batch-sharded when fleet serving.
-        Falls back to an unsharded upload when the leading dim doesn't
+        """Upload a host array, sharded per the active serving mode:
+        fleet -> batch axis, spatial -> H axis, neither -> plain upload.
+        Falls back to an unsharded upload when the relevant dim doesn't
         tile the mesh (e.g. a single-stream call on a fleet codec)."""
+        if self._sp_act is not None:
+            return self._sp_put_leaf(np.asarray(a))
         if (self._batch_sharding is None
                 or a.shape[0] % self._batch_sharding.mesh.size):
             return jnp.asarray(a)
@@ -349,7 +411,7 @@ class VideoCodec(_FleetShardingMixin):
         z_idx = be.build_indexes(z_shape)
 
         def up(symbols):
-            return jnp.asarray(np.asarray(symbols, np.int16))
+            return self._put(np.asarray(symbols, np.int16))
 
         coders = [EntropyCoder() for _ in streams]
 
@@ -404,7 +466,8 @@ class VideoCodec(_FleetShardingMixin):
             # that cast is exact for |v| <= 256 (8-bit mantissa), which
             # covers the coder's in-window symbols, and the encoder runs
             # the same stage programs so both sides see identical values.
-            return jnp.asarray(np.asarray(symbols, np.int16))
+            # _put: H-sharded under spatial serving, plain otherwise.
+            return self._put(np.asarray(symbols, np.int16))
 
         self.coder.set_stream(stream)
         mv_z_hat = self.coder.decode_stream(z_idx, self.z_mv_table)
@@ -673,15 +736,15 @@ class IntraCodec(_FleetShardingMixin):
         self.coder.set_stream(stream)
         z_hat = self.coder.decode_stream(z_idx, self.z_table).astype(np.int16)
 
-        idx0, carry = self._stage1(self.params, jnp.asarray(z_hat), q_scale)
+        idx0, carry = self._stage1(self.params, self._put(z_hat), q_scale)
         y_q_r_0 = self.coder.decode_stream(
             np.asarray(idx0), self.y_table).astype(np.int16)
 
-        idx1, carry2 = self._stage2(self.params, jnp.asarray(y_q_r_0), carry)
+        idx1, carry2 = self._stage2(self.params, self._put(y_q_r_0), carry)
         y_q_r_1 = self.coder.decode_stream(
             np.asarray(idx1), self.y_table).astype(np.int16)
 
-        x_hat = self._stage3(self.params, jnp.asarray(y_q_r_1), carry2, q_scale)
+        x_hat = self._stage3(self.params, self._put(y_q_r_1), carry2, q_scale)
         return x_hat
 
     def decompress_batch(self, streams, height: int, width: int, q_scale):
