@@ -61,6 +61,60 @@ def bucket_of(name: str) -> str:
     return "other"
 
 
+DTYPE_BYTES = {"bf16": 2, "f32": 4, "f16": 2, "f64": 8, "s64": 8,
+               "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+               "pred": 1}
+_SHAPE_RE = re.compile(
+    r"(bf16|f32|f16|f64|s64|s32|u32|s16|u16|s8|u8|pred)\[([0-9,]*)\]")
+
+# v5e per-chip ceilings for the ledger's "applicable ceiling" column:
+# HBM ~819 GB/s; bf16 MXU ~197 TFLOP/s; the warp gather's per-index DMA
+# ceiling was MEASURED at ~74 GB/s (PERF.md round-2/3 probes).
+HBM_GBPS = 819.0
+MXU_TFLOPS = 197.0
+GATHER_GBPS = 74.0
+
+
+def _shapes_of(name: str):
+    out = []
+    for dt, dims in _SHAPE_RE.findall(name):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out.append((dt, tuple(int(d) for d in dims.split(",") if d),
+                    n * DTYPE_BYTES[dt]))
+    return out
+
+
+def bytes_of(name: str) -> int:
+    """HBM-traffic estimate for one HLO event: result + operand tensors,
+    each counted once (signature shapes only — fusion bodies reuse
+    intermediates in registers/VMEM, so signature traffic is the right
+    first-order number)."""
+    return sum(b for _, _, b in _shapes_of(name))
+
+
+def conv_flops_of(name: str) -> float:
+    """2 * prod(output) * kh * kw * cin for convolution events; the
+    kernel operand is identified as a trailing 4D shape with small
+    leading (spatial) dims."""
+    if "convolution" not in name:
+        return 0.0
+    shapes = [s for s in _shapes_of(name) if len(s[1]) == 4]
+    if len(shapes) < 2:
+        return 0.0
+    output = shapes[0][1]
+    kernel = None
+    for _, dims, _ in shapes[1:]:
+        if dims[0] <= 9 and dims[1] <= 9:
+            kernel = dims
+    if kernel is None:
+        return 0.0
+    import numpy as _np
+    return float(2 * _np.prod(output) * kernel[0] * kernel[1] * kernel[2])
+
+
 def summarize_xplane(logdir: str, top_n: int = 25):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -137,6 +191,9 @@ def main():
     ap.add_argument("--fast-warp", action="store_true")
     ap.add_argument("--summarize-only", metavar="LOGDIR", default=None,
                     help="skip running; just parse an existing trace dir")
+    ap.add_argument("--ledger", action="store_true",
+                    help="print the per-bucket optimality ledger "
+                         "(bytes / GB/s / TFLOP/s vs ceilings)")
     args = ap.parse_args()
 
     if args.summarize_only is None:
@@ -197,6 +254,44 @@ def main():
                  if bucket_of(name) == "conv"]
     for ps, name in sorted(conv_rows, reverse=True)[:40]:
         print(f"{ps / 1e9 / n:9.2f} ms  {name[:150]}")
+
+    if args.ledger:
+        print_ledger(per_op, n)
+
+
+def print_ledger(per_op, n_frames: int):
+    """Per-bucket optimality ledger (VERDICT r4 next-step 5): time, HBM
+    traffic estimate, achieved GB/s (and TFLOP/s for conv) vs the
+    applicable ceiling. 'at-ceiling %' is the auditable claim: a bucket
+    near its ceiling cannot be recovered without changing the algorithm,
+    only one far below it is a lead."""
+    rows = defaultdict(lambda: [0.0, 0.0, 0.0])  # ps, bytes, flops
+    for name, ps in per_op.items():
+        b = bucket_of(name)
+        rows[b][0] += ps
+        rows[b][1] += bytes_of(name)
+        rows[b][2] += conv_flops_of(name)
+    print("\n== optimality ledger (per frame) ==")
+    print(f"{'bucket':24s} {'ms':>8s} {'est GB':>8s} {'GB/s':>7s} "
+          f"{'TFLOP':>7s} {'TF/s':>6s} {'ceiling':>14s} {'at-ceil':>8s}")
+    for b, (ps, by, fl) in sorted(rows.items(), key=lambda kv: -kv[1][0]):
+        ms = ps / 1e9 / n_frames
+        gb = by / 1e9 / n_frames
+        tf = fl / 1e12 / n_frames
+        sec = ms / 1e3
+        gbps = gb / sec if sec > 0 else 0.0
+        tfps = tf / sec if sec > 0 else 0.0
+        if b == "conv":
+            ceiling = f"MXU {MXU_TFLOPS:.0f} TF/s"
+            frac = tfps / MXU_TFLOPS
+        elif b == "gather":
+            ceiling = f"DMA {GATHER_GBPS:.0f} GB/s"
+            frac = gbps / GATHER_GBPS
+        else:
+            ceiling = f"HBM {HBM_GBPS:.0f} GB/s"
+            frac = gbps / HBM_GBPS
+        print(f"{b:24s} {ms:8.2f} {gb:8.2f} {gbps:7.0f} "
+              f"{tf:7.2f} {tfps:6.1f} {ceiling:>14s} {100 * frac:7.1f}%")
 
 
 if __name__ == "__main__":

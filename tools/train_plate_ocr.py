@@ -49,15 +49,89 @@ def random_text(rng: np.random.Generator) -> str:
     return "".join(out)
 
 
-def render_plate(text: str, rng: np.random.Generator) -> np.ndarray:
-    """Render one synthetic gray plate crop (uint8, random size/quality)."""
+# Training font pool (round 5): the PIL default plus three DejaVu faces.
+# The remaining three DejaVu faces (Sans-Bold, Serif regular, Mono-Bold)
+# are NEVER trained on — tools/ocr_domain_gate.py evaluates on them as
+# the held-out-font condition.
+TRAIN_FONTS = (
+    None,  # PIL default
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+)
+HELDOUT_FONTS = (
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+)
+
+
+def distort_perspective(img: np.ndarray, rng: np.random.Generator,
+                        strength: float = 0.12) -> np.ndarray:
+    """Random 4-corner homography jitter (plates shot off-axis)."""
+    import cv2 as cv
+
+    h, w = img.shape[:2]
+    jx, jy = strength * w, strength * h
+    src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+    dst = (src + rng.uniform(-1, 1, (4, 2)) * np.array([jx, jy])
+           ).astype(np.float32)
+    M = cv.getPerspectiveTransform(src, dst)
+    return cv.warpPerspective(img, M, (w, h), borderMode=cv.BORDER_REPLICATE)
+
+
+def distort_photometric(img: np.ndarray, rng: np.random.Generator
+                        ) -> np.ndarray:
+    """Blur (gaussian/motion) + contrast/brightness + noise + JPEG
+    round-trip — the capture-chain artifacts real plate crops carry."""
+    import cv2 as cv
+
+    out = img.astype(np.float32)
+    k = int(rng.choice([3, 5]))
+    if rng.random() < 0.5:
+        out = cv.GaussianBlur(out, (k, k), 0)
+    else:
+        kern = np.zeros((k, k), np.float32)
+        kern[k // 2] = 1.0 / k
+        out = cv.filter2D(out, -1, kern)
+    out = out * float(rng.uniform(0.6, 1.2)) + float(rng.uniform(-30, 30))
+    out += rng.normal(0, float(rng.uniform(4, 14)), out.shape)
+    out = out.clip(0, 255).astype(np.uint8)
+    ok, enc = cv.imencode(".jpg", out,
+                          [cv.IMWRITE_JPEG_QUALITY,
+                           int(rng.integers(35, 80))])
+    if ok:
+        out = cv.imdecode(enc, cv.IMREAD_GRAYSCALE)
+    return out
+
+
+def render_plate(text: str, rng: np.random.Generator,
+                 augment: bool = True) -> np.ndarray:
+    """Render one synthetic gray plate crop (uint8, random size/quality).
+
+    augment=True (the round-5 default) draws a random TRAIN_FONTS face
+    and applies perspective/photometric distortion with probability 0.5
+    each — the domain-shift gate (tools/ocr_domain_gate.py) showed the
+    font+geometry-naive round-4 model collapsing under exactly these
+    shifts (perspective exact-match 0.08), so they are now part of the
+    training distribution."""
+    import os as _os
+
     from PIL import Image, ImageDraw, ImageFont
 
     size = int(rng.integers(22, 34))
-    try:
-        font = ImageFont.load_default(size=size)
-    except TypeError:  # older PIL: fixed-size bitmap font
-        font = ImageFont.load_default()
+    font_path = None
+    if augment:
+        cand = TRAIN_FONTS[int(rng.integers(len(TRAIN_FONTS)))]
+        if cand is not None and _os.path.exists(cand):
+            font_path = cand
+    if font_path:
+        font = ImageFont.truetype(font_path, size=size)
+    else:
+        try:
+            font = ImageFont.load_default(size=size)
+        except TypeError:  # older PIL: fixed-size bitmap font
+            font = ImageFont.load_default()
     x0, y0, x1, y1 = font.getbbox(text)
     tw, th = x1 - x0, y1 - y0
     mx, my = int(rng.integers(3, 12)), int(rng.integers(2, 8))
@@ -76,7 +150,14 @@ def render_plate(text: str, rng: np.random.Generator) -> np.ndarray:
     a = np.asarray(img, np.float32)
     a = a * float(rng.uniform(0.75, 1.1)) + float(rng.uniform(-20, 20))
     a += rng.normal(0.0, float(rng.uniform(0, 12)), a.shape)
-    return a.clip(0, 255).astype(np.uint8)
+    a = a.clip(0, 255).astype(np.uint8)
+    if augment:
+        if rng.random() < 0.5:
+            a = distort_perspective(a, rng,
+                                    strength=float(rng.uniform(0.04, 0.14)))
+        if rng.random() < 0.5:
+            a = distort_photometric(a, rng)
+    return a
 
 
 def make_batch(batch: int, rng: np.random.Generator, width: int,
