@@ -33,6 +33,21 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+def run(ckpt=None, size=64, frames=1, anchors="0.5:0.6,0.7:0.9,0.9:1.1,1.1:1.4",
+        damp=0.5, content="kron", _cache={}):
+    """One BD-rate(ours vs reference) measurement; returns the result dict.
+
+    _cache holds the built codecs/twins across calls so a chain-depth
+    sweep (tools/bd_chain_study.py) pays model build + weight export
+    once."""
+    class _A:
+        pass
+    args = _A()
+    args.ckpt, args.size, args.frames = ckpt, size, frames
+    args.anchors, args.damp, args.content = anchors, damp, content
+    return _run(args, _cache)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None,
@@ -56,7 +71,12 @@ def main():
                          "conditioned (non-flat) RD curve, so the BD "
                          "integral is valid")
     args = ap.parse_args()
+    result = _run(args, {})
+    if result is not None:
+        print(json.dumps(result))
 
+
+def _run(args, cache):
     from native_interop.build_ref_modules import load
     ref_rans, ref_cxx = load()
     if ref_rans is None:
@@ -83,28 +103,33 @@ def main():
     from vcm_ts_tpu.models.dmc import DMC, make_dpb
     from vcm_ts_tpu.utils.weight_export import flax_to_torch_state_dict
 
-    model = DMC(anchor_num=4)
-    x0 = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 64, 96),
-                        1.0, 1.0, method="init_all")
-    if args.ckpt:
-        from vcm_ts_tpu.train.checkpoint import CheckPointer
-        params, _, _ = CheckPointer().load(params, path=args.ckpt,
-                                           use_latest=False)
-        weights = args.ckpt
+    if "codec" in cache:
+        codec, tmodel, weights = (cache["codec"], cache["tmodel"],
+                                  cache["weights"])
     else:
-        params = xdec._damp(params, args.damp)
-        weights = f"damped-random-init({args.damp})"
+        model = DMC(anchor_num=4)
+        x0 = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x0, make_dpb(x0, 64, 96),
+                            1.0, 1.0, method="init_all")
+        if args.ckpt:
+            from vcm_ts_tpu.train.checkpoint import CheckPointer
+            params, _, _ = CheckPointer().load(params, path=args.ckpt,
+                                               use_latest=False)
+            weights = args.ckpt
+        else:
+            params = xdec._damp(params, args.damp)
+            weights = f"damped-random-init({args.damp})"
 
-    codec = VideoCodec(model, params)
-    codec.update()
+        codec = VideoCodec(model, params)
+        codec.update()
 
-    tmodel = TorchDMC(anchor_num=4)
-    sd = {k: torch.from_numpy(v)
-          for k, v in flax_to_torch_state_dict(params).items()}
-    tmodel.load_state_dict(sd, strict=True)
-    tmodel.eval()
-    tmodel.update(force=True)
+        tmodel = TorchDMC(anchor_num=4)
+        sd = {k: torch.from_numpy(v)
+              for k, v in flax_to_torch_state_dict(params).items()}
+        tmodel.load_state_dict(sd, strict=True)
+        tmodel.eval()
+        tmodel.update(force=True)
+        cache.update(codec=codec, tmodel=tmodel, weights=weights)
 
     s = args.size
     if args.content == "overfit":
@@ -173,7 +198,7 @@ def main():
     span = min(ours_pts[:, 1].max() - ours_pts[:, 1].min(),
                ref_pts[:, 1].max() - ref_pts[:, 1].min())
     valid = bool(span >= 0.5)
-    print(json.dumps({
+    return ({
         "metric": "BD-rate ours-vs-reference, shared weights "
                   f"({weights}, {args.frames} P-frame(s), {s}x{s}, "
                   f"{args.content} content)",
@@ -187,7 +212,7 @@ def main():
         "psnr_span_db": round(float(span), 4),
         "bd_valid": valid,
         "pass": bool(valid and abs(bd) < 0.1),
-    }))
+    })
 
 
 if __name__ == "__main__":
