@@ -52,6 +52,8 @@ def main():
             "psnr_span_db": r["psnr_span_db"],
             "ours_bpp": r["ours_bpp"],
             "ref_bpp": r["ref_bpp"],
+            "ours_psnr": r["ours_psnr"],
+            "ref_psnr": r["ref_psnr"],
             "max_anchor_bpp_delta_pct": round(max(
                 abs(o - f) / f * 100
                 for o, f in zip(r["ours_bpp"], r["ref_bpp"])), 3),
