@@ -282,6 +282,9 @@ def decod_hevc(dataset_dir, out_dir, rate_num, gop, config):
 
 
 def main():
+    from vcm_ts_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()  # tunnel compiles are slow+variable;
+    # the persistent cache reuses bench/eval stage binaries across runs
     parser = argparse.ArgumentParser(description="Benchmark models decoding")
     parser.add_argument("--config", dest="config", type=str, required=True)
     args = parser.parse_args()

@@ -365,6 +365,9 @@ def build_codecs(args):
 
 
 def main():
+    from vcm_ts_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()  # tunnel compiles are slow+variable;
+    # the persistent cache reuses bench/eval stage binaries across runs
     begin_time = time.time()
     args = parse_args()
 

@@ -19,6 +19,9 @@ from vcm_ts_tpu.utils.logger import setup_logger
 
 
 def main():
+    from vcm_ts_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()  # tunnel compiles are slow+variable;
+    # the persistent cache reuses bench/eval stage binaries across runs
     parser = argparse.ArgumentParser(
         description="Video Coding for Machines for Traffic Scenes (TPU)")
     parser.add_argument("--video-path", dest="video_path", type=str,
