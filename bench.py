@@ -141,6 +141,11 @@ def main():
                     help="with --train-step: SOLVER.MIXED_PRECISION mode "
                          "(bf16 compute, f32 master params/moments)")
     ap.add_argument("--p-frames", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed repetitions per reported number; the "
+                         "driver artifact records median + min/max so "
+                         "single-shot tunnel variance (up to ~30% across "
+                         "sessions, PERF.md) stops polluting it")
     ap.add_argument("--probe-timeout", type=float,
                     default=float(os.environ.get("BENCH_PROBE_TIMEOUT",
                                                  "420")))
